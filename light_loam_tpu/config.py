@@ -1,0 +1,217 @@
+"""Typed configuration for every pipeline stage.
+
+The reference scatters its knobs across ROS launch files and compile-time
+constants (SURVEY.md §5 "Config / flag system").  Here every constant is a
+named, typed field with the reference value as default, citing where the
+reference defines it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class ScanConfig:
+    """Feature-extraction stage (reference: src/scanRegistration.cpp).
+
+    Shapes are static: each scan is laid out as an (n_scans, h_max) padded
+    range image; ``h_max`` bounds the number of points per ring.
+    """
+
+    # Number of laser rings (`scan_line` param, scanRegistration.cpp:435).
+    n_scans: int = 64
+    # Max points per ring after ring binning (static padding bound).  KITTI
+    # HDL-64 rings carry ~2000-2200 points; 2304 = 18*128 is lane-aligned.
+    h_max: int = 2304
+    # Static bound on raw input points per frame (KITTI HDL-64 ~120-130k).
+    max_points: int = 131072
+
+    # Points closer than this are dropped (`minimum_range` param,
+    # scanRegistration.cpp:438; KITTI launch value 5.0,
+    # launch/aloam_velodyne_HDL_64.launch:8).
+    minimum_range: float = 5.0
+
+    # 64-beam vertical-angle → ring mapping: scanID = int((angle - lower)
+    # * (n-1)/(upper-lower) + 0.5) (scanRegistration.cpp:162,439-441).
+    lower_bound_deg: float = -24.9
+    upper_bound_deg: float = 2.0
+
+    # Sensor sweep period in seconds (scanRegistration.cpp:28).
+    scan_period: float = 0.1
+
+    # Curvature threshold separating edge from planar candidates
+    # (scanRegistration.cpp:266,321).
+    curvature_threshold: float = 0.1
+    # Per (ring, sector) pick budgets (scanRegistration.cpp:270,276,328).
+    max_sharp_per_sector: int = 2
+    max_less_sharp_per_sector: int = 20
+    max_flat_per_sector: int = 4
+    # Number of equal azimuth sectors per ring (scanRegistration.cpp:251).
+    n_sectors: int = 6
+    # Squared adjacent-point gap that stops neighbor suppression
+    # (scanRegistration.cpp:293,305).
+    suppression_gap_sq: float = 0.05
+    # Half-width of the suppression window (scanRegistration.cpp:288,300).
+    suppression_radius: int = 5
+    # Voxel leaf for the less-flat downsample (scanRegistration.cpp:373).
+    less_flat_leaf: float = 0.2
+
+    # ---- static capacities of the padded feature clouds ----
+    @property
+    def max_sharp(self) -> int:
+        return _round_up(self.n_scans * self.n_sectors * self.max_sharp_per_sector, 128)
+
+    @property
+    def max_less_sharp(self) -> int:
+        return _round_up(
+            self.n_scans * self.n_sectors * self.max_less_sharp_per_sector, 128
+        )
+
+    @property
+    def max_flat(self) -> int:
+        return _round_up(self.n_scans * self.n_sectors * self.max_flat_per_sector, 128)
+
+    @property
+    def max_less_flat(self) -> int:
+        # Less-flat keeps every non-corner point, then voxel-downsamples at
+        # 0.2 m per ring; at HDL-64 azimuth spacing most voxels survive, so
+        # the bound must be a large fraction of the grid (~45k observed on
+        # dense synthetic urban scenes).
+        return _round_up(self.n_scans * 1024, 128)
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan front end (reference: src/laserOdometry.cpp)."""
+
+    # Gate on the squared distance of the nearest neighbour
+    # (laserOdometry.cpp:29).
+    distance_sq_threshold: float = 25.0
+    # Ring window for the 2nd/3rd correspondence points
+    # (laserOdometry.cpp:30).
+    nearby_scan: float = 2.5
+    # Outer re-association iterations (laserOdometry.cpp:439).
+    outer_iterations: int = 3
+    # Inner Levenberg-Marquardt iterations (Ceres max_num_iterations=4,
+    # laserOdometry.cpp:822).
+    inner_iterations: int = 4
+    # Huber loss scale (laserOdometry.cpp:475).
+    huber_delta: float = 0.1
+    # Frames before the plane vote gate activates (laserOdometry.cpp:781,794).
+    vote_start_frame: int = 5
+    # Graph-vote "simple" parameters (laserOdometry.cpp:179-188,260-285).
+    corner_vote_regions: int = 5
+    plane_vote_regions: int = 10
+    vote_score_threshold: float = 0.96
+    vote_selected_ratio: float = 0.90
+    vote_low_vote_count: int = 50
+    vote_low_vote_weight: float = 5.0
+    vote_high_vote_weight: float = 1.0
+    # Compatibility kernel length scale (resolution=1, laserOdometry.cpp:222).
+    vote_resolution: float = 1.0
+    # Publish features to mapping every `skipFrameNum` frames
+    # (`mapping_skip_frame`, laserOdometry.cpp:350; KITTI launch value 1).
+    skip_frame_num: int = 1
+    # Motion-compensation (undistortion) hook; DISTORTION 0 in the reference
+    # (laserOdometry.cpp:23) so s == 1 always.
+    distortion: bool = False
+
+    # Static capacity for per-chunk vote matrices: ceil(max_flat/regions)
+    # padded to the fp32 sublane (8).  Chosen at trace time from cloud sizes.
+    vote_chunk_pad: int = 8
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map back end (reference: src/laserMapping.cpp)."""
+
+    # Cube-map geometry: width x height x depth cells of `cube_size` metres
+    # (laserMapping.cpp:45-53).
+    cube_width: int = 21
+    cube_height: int = 21
+    cube_depth: int = 11
+    cube_size: float = 50.0
+    # Recentering margin in cells (laserMapping.cpp:1595,1626,...).
+    recenter_margin: int = 3
+    # Local-map gather half-extents: 5x5x3 neighbourhood
+    # (laserMapping.cpp:1784-1788).
+    local_half_i: int = 2
+    local_half_j: int = 2
+    local_half_k: int = 1
+    # Input-stack voxel leafs (`mapping_line_resolution` /
+    # `mapping_plane_resolution`, laserMapping.cpp:2363-2369; KITTI values
+    # launch/aloam_velodyne_HDL_64.launch:11-12).
+    line_resolution: float = 0.4
+    plane_resolution: float = 0.8
+    # Minimum local-map sizes to run the solver (laserMapping.cpp:1826).
+    min_corner_map_points: int = 10
+    min_surf_map_points: int = 50
+    # Solver schedule: 2 outer x 4 inner (laserMapping.cpp:1834,2082).
+    outer_iterations: int = 2
+    inner_iterations: int = 4
+    huber_delta: float = 0.1
+    # 5-NN gate: 5th neighbour within 1 m^2 (laserMapping.cpp:1884,1952).
+    knn_k: int = 5
+    knn_sq_gate: float = 1.0
+    # Line test: lambda_max > 3 * lambda_mid (laserMapping.cpp:1911).
+    line_eig_ratio: float = 3.0
+    # Virtual line endpoints at center +/- 0.1 * direction
+    # (laserMapping.cpp:1915-1916).
+    line_point_offset: float = 0.1
+    # Plane inlier gate: |n.p + d| <= 0.2 (laserMapping.cpp:1979).
+    plane_fit_gate: float = 0.2
+
+    # ---- static capacities ----
+    # Device-side local map (5x5x3 cell gather) capacities.
+    local_corner_capacity: int = 32768
+    local_surf_capacity: int = 65536
+    # Downsampled input stack capacities.
+    stack_corner_capacity: int = 2048
+    stack_surf_capacity: int = 8192
+    # k-NN map tile (streamed over map points to bound memory).
+    knn_tile: int = 8192
+
+    @property
+    def n_cells(self) -> int:
+        return self.cube_width * self.cube_height * self.cube_depth
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline (dataflow of SURVEY.md §1)."""
+
+    scan: ScanConfig = dataclasses.field(default_factory=ScanConfig)
+    odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    # Real-time budget per frame in ms; the reference warns past 100 ms
+    # (scanRegistration.cpp:426-427, laserOdometry.cpp:922-923).
+    frame_budget_ms: float = 100.0
+    # Mapping back-pressure: drop backlog frames like laserMapping.cpp:1571-1575.
+    drop_mapping_backlog: bool = True
+
+
+# ---- the three launch profiles (reference launch/*.launch) ----
+
+HDL64_KITTI = PipelineConfig(
+    scan=ScanConfig(n_scans=64, minimum_range=5.0),
+    odometry=OdometryConfig(skip_frame_num=1),
+    mapping=MappingConfig(line_resolution=0.4, plane_resolution=0.8),
+)
+
+VLP16 = PipelineConfig(
+    scan=ScanConfig(n_scans=16, minimum_range=0.3, h_max=2304, max_points=65536),
+    odometry=OdometryConfig(skip_frame_num=1),
+    mapping=MappingConfig(line_resolution=0.2, plane_resolution=0.4),
+)
+
+HDL32 = PipelineConfig(
+    scan=ScanConfig(n_scans=32, minimum_range=0.3, h_max=2304, max_points=131072),
+    odometry=OdometryConfig(skip_frame_num=1),
+    mapping=MappingConfig(line_resolution=0.2, plane_resolution=0.4),
+)

@@ -1,0 +1,136 @@
+"""Voxel-grid centroid downsampling with static shapes.
+
+TPU-native replacement for ``pcl::VoxelGrid`` (used by the reference for the
+less-flat cloud at 0.2 m leaf, src/scanRegistration.cpp:370-376, and for the
+mapping input stacks / cube cells, src/laserMapping.cpp:1814-1822,2154-2168).
+
+Implementation: voxel keys -> lexicographic sort -> segment mean.  Unlike
+PCL, the voxel lattice is anchored at the world origin rather than at the
+cloud's min corner; this changes which boundary a point lands on by a
+sub-leaf shift but is deterministic and jit-stable.  Output order is sorted
+by voxel key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+
+# Plain Python ints: module-level jnp constants would be materialized on the
+# default backend at import time and then baked into traces as device
+# constants, which some PJRT plugins reject.
+_SENTINEL = 2**31 - 1
+# Voxel indices are biased into [0, 2**15) per axis; supports |coord| up to
+# ~3200 m at a 0.2 m leaf.
+_BIAS = 1 << 14
+_AXIS_RANGE = 1 << 15
+
+
+def voxel_keys(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    leaf: float,
+    extra_key: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (major, minor) int32 key pair identifying each point's voxel.
+
+    ``extra_key`` (e.g. a cube-cell id) separates otherwise-identical
+    lattices so multiple cells can be filtered in one fused call.
+    """
+    ijk = jnp.floor(xyz / leaf).astype(jnp.int32) + _BIAS
+    ijk = jnp.clip(ijk, 0, _AXIS_RANGE - 1)
+    minor = ijk[..., 0] * _AXIS_RANGE + ijk[..., 1]
+    major = ijk[..., 2]
+    if extra_key is not None:
+        major = major + extra_key.astype(jnp.int32) * _AXIS_RANGE
+    major = jnp.where(mask, major, _SENTINEL)
+    minor = jnp.where(mask, minor, _SENTINEL)
+    return major, minor
+
+
+def voxel_downsample(
+    xyz: jnp.ndarray,
+    rel: jnp.ndarray,
+    mask: jnp.ndarray,
+    leaf: float,
+    capacity: int,
+    extra_key: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Centroid-downsample a masked cloud.
+
+    Returns (xyz_out, rel_out, mask_out, extra_out) with static shapes
+    (capacity, 3)/(capacity,); ``extra_out`` carries each surviving voxel's
+    ``extra_key`` (or zeros when not supplied).  Voxels beyond ``capacity``
+    are dropped (callers size capacity so this does not happen in practice).
+    """
+    n = xyz.shape[0]
+    major, minor = voxel_keys(xyz, mask, leaf, extra_key)
+
+    # Stable lexicographic sort: minor first, then major.
+    order_minor = jnp.argsort(minor, stable=True)
+    major_s = major[order_minor]
+    order_major = jnp.argsort(major_s, stable=True)
+    order = order_minor[order_major]
+
+    major_s = major[order]
+    minor_s = minor[order]
+    xyz_s = xyz[order]
+    rel_s = rel[order]
+    valid_s = mask[order]
+
+    # Head of each voxel segment.
+    prev_major = jnp.concatenate([jnp.full((1,), -1, jnp.int32), major_s[:-1]])
+    prev_minor = jnp.concatenate([jnp.full((1,), -1, jnp.int32), minor_s[:-1]])
+    head = ((major_s != prev_major) | (minor_s != prev_minor)) & valid_s
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, jnp.clip(seg, 0, capacity), capacity)
+
+    ones = valid_s.astype(xyz.dtype)
+    cnt = jnp.zeros((capacity + 1,), xyz.dtype).at[seg].add(ones)
+    sx = jnp.zeros((capacity + 1, 3), xyz.dtype).at[seg].add(
+        jnp.where(valid_s[:, None], xyz_s, 0.0)
+    )
+    sr = jnp.zeros((capacity + 1,), xyz.dtype).at[seg].add(
+        jnp.where(valid_s, rel_s, 0.0)
+    )
+    if extra_key is not None:
+        extra_s = extra_key[order]
+        ex = jnp.zeros((capacity + 1,), jnp.int32).at[seg].max(
+            jnp.where(valid_s, extra_s, 0)
+        )
+        extra_out = ex[:capacity]
+    else:
+        extra_out = jnp.zeros((capacity,), jnp.int32)
+
+    cnt_out = cnt[:capacity]
+    mask_out = cnt_out > 0
+    denom = jnp.maximum(cnt_out, 1.0)
+    xyz_out = sx[:capacity] / denom[:, None]
+    rel_out = sr[:capacity] / denom
+    return xyz_out, rel_out, mask_out, extra_out
+
+
+def compact(
+    values: jnp.ndarray,
+    mask: jnp.ndarray,
+    capacity: int,
+    keys: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather masked rows to the front, optionally ordered by ``keys``.
+
+    Returns (gather_indices (capacity,), out_mask (capacity,), order) where
+    ``values[gather_indices]`` is the compacted array.  ``values`` is only
+    used for its leading dimension.
+    """
+    n = values.shape[0]
+    if keys is None:
+        keys = jnp.arange(n, dtype=jnp.int32)
+    sort_key = jnp.where(mask, keys, jnp.int32(2**31 - 1))
+    order = jnp.argsort(sort_key, stable=True)
+    idx = order[:capacity]
+    count = jnp.sum(mask.astype(jnp.int32))
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+    return idx, out_mask, order

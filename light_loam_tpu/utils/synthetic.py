@@ -1,0 +1,155 @@
+"""Synthetic spinning-LiDAR scene simulator (host-side, NumPy).
+
+Generates HDL-64-like sweeps of a procedurally built urban scene (ground
+plane, box "buildings", cylindrical poles) from arbitrary sensor poses.
+Used by tests and benchmarks in place of KITTI data (which is not vendored);
+the geometry matches the KITTI velodyne convention: x forward, y left,
+z up, sensor ~1.73 m above ground.
+
+Points are emitted in azimuth-major sweep order (all rings per azimuth
+column), matching a rotating head, which is what the reference's
+start/end-orientation unwrap logic expects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Box:
+    center: np.ndarray  # (3,)
+    half: np.ndarray    # (3,)
+
+
+@dataclass
+class Pole:
+    center: np.ndarray  # (2,) xy
+    radius: float
+    z0: float
+    z1: float
+
+
+@dataclass
+class World:
+    ground_z: float = -1.73
+    boxes: list = field(default_factory=list)
+    poles: list = field(default_factory=list)
+
+    @staticmethod
+    def urban(seed: int = 0, n_boxes: int = 14, n_poles: int = 12) -> "World":
+        rng = np.random.default_rng(seed)
+        w = World()
+        for _ in range(n_boxes):
+            side = rng.choice([-1.0, 1.0])
+            cy = side * rng.uniform(8.0, 25.0)
+            cx = rng.uniform(-60.0, 120.0)
+            hx = rng.uniform(4.0, 15.0)
+            hy = rng.uniform(2.0, 8.0)
+            hz = rng.uniform(3.0, 12.0)
+            w.boxes.append(
+                Box(center=np.array([cx, cy, w.ground_z + hz]),
+                    half=np.array([hx, hy, hz]))
+            )
+        for _ in range(n_poles):
+            side = rng.choice([-1.0, 1.0])
+            cy = side * rng.uniform(4.0, 7.0)
+            cx = rng.uniform(-40.0, 100.0)
+            w.poles.append(
+                Pole(center=np.array([cx, cy]), radius=rng.uniform(0.1, 0.25),
+                     z0=w.ground_z, z1=w.ground_z + rng.uniform(4.0, 8.0))
+            )
+        return w
+
+
+def _ray_ground(o, d, ground_z):
+    dz = d[:, 2]
+    t = np.where(np.abs(dz) > 1e-9, (ground_z - o[2]) / np.where(np.abs(dz) > 1e-9, dz, 1.0), np.inf)
+    return np.where(t > 0, t, np.inf)
+
+
+def _ray_box(o, d, box: Box):
+    lo = box.center - box.half
+    hi = box.center + box.half
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / d
+        t0 = (lo[None, :] - o[None, :]) * inv
+        t1 = (hi[None, :] - o[None, :]) * inv
+    tmin = np.nanmax(np.minimum(t0, t1), axis=1)
+    tmax = np.nanmin(np.maximum(t0, t1), axis=1)
+    hit = (tmax >= tmin) & (tmax > 0)
+    t = np.where(tmin > 0, tmin, tmax)
+    return np.where(hit & (t > 0), t, np.inf)
+
+
+def _ray_pole(o, d, pole: Pole):
+    ox, oy = o[0] - pole.center[0], o[1] - pole.center[1]
+    dx, dy = d[:, 0], d[:, 1]
+    a = dx * dx + dy * dy
+    b = 2.0 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - pole.radius**2
+    disc = b * b - 4 * a * c
+    ok = (disc >= 0) & (a > 1e-12)
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t = (-b - sq) / np.where(a > 1e-12, 2 * a, 1.0)
+    z = o[2] + t * d[:, 2]
+    ok = ok & (t > 0) & (z >= pole.z0) & (z <= pole.z1)
+    return np.where(ok, t, np.inf)
+
+
+def simulate_scan(
+    world: World,
+    sensor_pos: np.ndarray,
+    sensor_yaw: float = 0.0,
+    n_rings: int = 64,
+    n_azimuth: int = 1800,
+    lower_deg: float = -24.9,
+    upper_deg: float = 2.0,
+    max_range: float = 80.0,
+    noise: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Return (N, 3) float32 points in the sensor frame, sweep-ordered."""
+    rng = np.random.default_rng(seed)
+    vert = np.deg2rad(np.linspace(lower_deg, upper_deg, n_rings))
+    azim = np.linspace(0.0, 2.0 * np.pi, n_azimuth, endpoint=False)
+
+    ca, sa = np.cos(azim), np.sin(azim)
+    cv, sv = np.cos(vert), np.sin(vert)
+    # (A, R, 3) direction grid in sensor frame, azimuth-major.
+    dx = ca[:, None] * cv[None, :]
+    dy = sa[:, None] * cv[None, :]
+    dz = np.broadcast_to(sv[None, :], dx.shape)
+    dirs = np.stack([dx, dy, dz], axis=-1).reshape(-1, 3)
+
+    cy, sy = np.cos(sensor_yaw), np.sin(sensor_yaw)
+    Rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    dirs_w = dirs @ Rz.T
+    o = np.asarray(sensor_pos, dtype=np.float64)
+
+    t = _ray_ground(o, dirs_w, world.ground_z)
+    for box in world.boxes:
+        t = np.minimum(t, _ray_box(o, dirs_w, box))
+    for pole in world.poles:
+        t = np.minimum(t, _ray_pole(o, dirs_w, pole))
+
+    hit = np.isfinite(t) & (t <= max_range) & (t >= 0.5)
+    t = np.where(hit, t, np.nan)
+    pts = dirs * t[:, None]  # sensor-frame points
+    if noise > 0:
+        pts = pts + rng.normal(scale=noise, size=pts.shape) * np.sign(t[:, None])
+    pts = pts[hit]
+    return pts.astype(np.float32)
+
+
+def pad_cloud(pts: np.ndarray, capacity: int):
+    """Pad an (N, 3) cloud to (capacity, 3) + mask."""
+    n = min(len(pts), capacity)
+    xyz = np.zeros((capacity, 3), np.float32)
+    mask = np.zeros((capacity,), bool)
+    xyz[:n] = pts[:n]
+    mask[:n] = True
+    return xyz, mask
