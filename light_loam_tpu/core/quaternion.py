@@ -87,7 +87,10 @@ def quat_exp(phi: jnp.ndarray) -> jnp.ndarray:
     q = [sin(|phi|/2) * phi/|phi|, cos(|phi|/2)] — the manifold ⊞ used in
     place of Ceres's EigenQuaternionManifold (src/laserOdometry.cpp:476-477).
     """
-    angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    # sqrt(x + eps) keeps the map differentiable at phi = 0 (plain norm has
+    # an undefined gradient there, which poisons jacfwd/jacrev even under
+    # a `where` — the NaN rides the untaken branch's tangent).
+    angle = jnp.sqrt(jnp.sum(phi * phi, axis=-1, keepdims=True) + 1e-24)
     half = 0.5 * angle
     small = angle < 1e-8
     safe = jnp.where(small, 1.0, angle)

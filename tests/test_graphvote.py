@@ -1,0 +1,137 @@
+"""Validate the batched vote kernels against a literal NumPy port of the
+reference's sequential vote (laserOdometry.cpp:165-342)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_loam_tpu.ops import graphvote as gv
+
+
+def literal_simple_vote(src, tgt, n_regions, threshold=0.96, resolution=1.0):
+    """Returns (selected_index_list, weights) like the reference's
+    selected_idx vector — walking votes ascending, break above 0.9k."""
+    n = len(src)
+    selected = {}
+    for c in range(n_regions):
+        lo = n // n_regions * c
+        hi = n if c == n_regions - 1 else n // n_regions * (c + 1)
+        k = hi - lo
+        if k <= 0:
+            continue
+        votes = np.zeros(k)
+        for i in range(k):
+            for j in range(i + 1, k):
+                s1 = np.linalg.norm(src[lo + i] - src[lo + j])
+                s2 = np.linalg.norm(tgt[lo + i] - tgt[lo + j])
+                gap = abs(s1 - s2)
+                score = np.exp(-(gap * gap) / (resolution * resolution))
+                if score < threshold:
+                    votes[i] += 1
+                    votes[j] += 1
+        order = np.argsort(-votes, kind="stable")  # descending
+        num_selected = 0.9 * k
+        for i in range(k - 1, -1, -1):  # ascending votes
+            idx = order[i]
+            if votes[idx] > num_selected:
+                break
+            w = 5.0 if votes[idx] <= 50 else 1.0
+            selected[lo + idx] = (w, votes[idx])
+    return selected
+
+
+def test_simple_vote_matches_literal():
+    rng = np.random.default_rng(0)
+    n = 200
+    # consistent correspondences: rigid transform + small noise
+    src = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    theta = 0.1
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+    tgt = src @ R.T + np.array([1.0, 0.5, 0.0], np.float32)
+    # corrupt 20% with gross outliers
+    bad = rng.random(n) < 0.2
+    tgt[bad] += rng.uniform(-8, 8, (bad.sum(), 3)).astype(np.float32)
+
+    n_regions = 5
+    oracle = literal_simple_vote(src, tgt, n_regions)
+
+    out = gv.simple_vote(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(n, bool),
+        n_regions=n_regions, chunk_capacity=64,
+    )
+    sel = np.asarray(out.selected)
+    w = np.asarray(out.weight)
+    votes = np.asarray(out.votes)
+
+    for i in range(n):
+        if i in oracle:
+            assert sel[i], f"corr {i} should be selected (votes={votes[i]})"
+            assert w[i] == oracle[i][0], f"corr {i} weight {w[i]} != {oracle[i][0]}"
+            assert votes[i] == oracle[i][1]
+        else:
+            assert not sel[i], f"corr {i} should be rejected (votes={votes[i]})"
+
+
+def test_simple_vote_rejects_outliers():
+    rng = np.random.default_rng(1)
+    n = 300
+    src = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    tgt = src + np.array([0.5, -0.2, 0.1], np.float32)
+    bad = np.zeros(n, bool)
+    bad[::7] = True
+    tgt[bad] += rng.uniform(3, 10, (bad.sum(), 3)).astype(np.float32)
+
+    out = gv.simple_vote(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(n, bool),
+        n_regions=10, chunk_capacity=48,
+    )
+    sel = np.asarray(out.selected)
+    # outliers should receive many votes and be dropped or downweighted
+    good_rate = sel[~bad].mean()
+    bad_rate = sel[bad].mean()
+    assert good_rate > 0.95
+    assert bad_rate < 0.30
+
+
+def test_simple_vote_with_padding():
+    rng = np.random.default_rng(2)
+    n, q = 120, 200
+    src = np.zeros((q, 3), np.float32)
+    tgt = np.zeros((q, 3), np.float32)
+    valid = np.zeros(q, bool)
+    # valid slots scattered through the padded array
+    slots = np.sort(rng.choice(q, n, replace=False))
+    pts = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    src[slots] = pts
+    tgt[slots] = pts + 0.3
+    valid[slots] = True
+
+    oracle = literal_simple_vote(pts, pts + 0.3, 5)
+    out = gv.simple_vote(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid),
+        n_regions=5, chunk_capacity=48,
+    )
+    sel = np.asarray(out.selected)
+    assert not sel[~valid].any()
+    for rank, slot in enumerate(slots):
+        assert sel[slot] == (rank in oracle)
+
+
+def test_full_graph_vote_scores_inliers_higher():
+    rng = np.random.default_rng(3)
+    n = 200
+    src = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    tgt = src + np.array([0.5, -0.2, 0.1], np.float32)
+    tgt += rng.normal(scale=0.02, size=tgt.shape).astype(np.float32)
+    bad = np.zeros(n, bool)
+    bad[::6] = True
+    tgt[bad] += rng.uniform(2, 6, (bad.sum(), 3)).astype(np.float32)
+
+    out = gv.full_graph_vote(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(n, bool),
+        n_regions=10, chunk_capacity=48,
+    )
+    sel = np.asarray(out.selected)
+    score = np.asarray(out.score)
+    assert sel[~bad].mean() > 0.9
+    assert score[~bad].mean() > 3 * max(score[bad].mean(), 1e-6)

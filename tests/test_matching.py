@@ -1,0 +1,149 @@
+"""Validate the masked-argmin correspondence search against a literal
+NumPy port of the reference's ring-sorted array scans
+(laserOdometry.cpp:491-737)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from light_loam_tpu.core.frame import PointCloud
+from light_loam_tpu.ops import knn
+
+DIST_SQ = 25.0
+NEARBY = 2.5
+
+
+def literal_corner_match(q, ref, ring):
+    """The reference's exact up/down scan for the corner 2nd point."""
+    d = np.sum((ref - q) ** 2, axis=1)
+    a = int(np.argmin(d))
+    if d[a] >= DIST_SQ:
+        return -1, -1
+    ra = ring[a]
+    best2, i2 = DIST_SQ, -1
+    for j in range(a + 1, len(ref)):
+        if ring[j] <= ra:
+            continue
+        if ring[j] > ra + NEARBY:
+            break
+        if d[j] < best2:
+            best2, i2 = d[j], j
+    for j in range(a - 1, -1, -1):
+        if ring[j] >= ra:
+            continue
+        if ring[j] < ra - NEARBY:
+            break
+        if d[j] < best2:
+            best2, i2 = d[j], j
+    return a, i2
+
+
+def literal_surf_match(q, ref, ring):
+    d = np.sum((ref - q) ** 2, axis=1)
+    a = int(np.argmin(d))
+    if d[a] >= DIST_SQ:
+        return -1, -1, -1
+    ra = ring[a]
+    best2, i2 = DIST_SQ, -1
+    best3, i3 = DIST_SQ, -1
+    for j in range(a + 1, len(ref)):
+        if ring[j] > ra + NEARBY:
+            break
+        if ring[j] <= ra and d[j] < best2:
+            best2, i2 = d[j], j
+        elif ring[j] > ra and d[j] < best3:
+            best3, i3 = d[j], j
+    for j in range(a - 1, -1, -1):
+        if ring[j] < ra - NEARBY:
+            break
+        if ring[j] >= ra and d[j] < best2:
+            best2, i2 = d[j], j
+        elif ring[j] < ra and d[j] < best3:
+            best3, i3 = d[j], j
+    return a, i2, i3
+
+
+def make_ring_sorted_cloud(rng, n=400, n_rings=16):
+    ring = np.sort(rng.integers(0, n_rings, n))
+    xyz = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    # within-ring sorted order not required for correctness of the scans
+    rel = ring + 0.05 * rng.random(n)
+    return xyz, rel.astype(np.float32), ring
+
+
+def test_corner_matches_literal_scan():
+    rng = np.random.default_rng(0)
+    xyz, rel, ring = make_ring_sorted_cloud(rng)
+    ref = PointCloud(xyz=jnp.asarray(xyz), rel=jnp.asarray(rel),
+                     mask=jnp.ones(len(xyz), bool))
+    queries = rng.uniform(-10, 10, (64, 3)).astype(np.float32)
+    out = knn.corner_correspondences(
+        jnp.asarray(queries), jnp.ones(64, bool), ref
+    )
+    for i in range(64):
+        a, b = literal_corner_match(queries[i], xyz, ring)
+        if a < 0 or b < 0:
+            assert not bool(out.valid[i])
+        else:
+            assert bool(out.valid[i])
+            assert int(out.a_idx[i]) == a
+            # argmin may pick a different index at exactly equal distance;
+            # compare distances instead of indices
+            db_k = np.sum((xyz[int(out.b_idx[i])] - queries[i]) ** 2)
+            db_o = np.sum((xyz[b] - queries[i]) ** 2)
+            np.testing.assert_allclose(db_k, db_o, rtol=1e-5)
+            assert ring[int(out.b_idx[i])] != ring[a]
+            assert abs(ring[int(out.b_idx[i])] - ring[a]) <= NEARBY
+
+
+def test_surf_matches_literal_scan():
+    rng = np.random.default_rng(1)
+    xyz, rel, ring = make_ring_sorted_cloud(rng, n=600)
+    ref = PointCloud(xyz=jnp.asarray(xyz), rel=jnp.asarray(rel),
+                     mask=jnp.ones(len(xyz), bool))
+    queries = rng.uniform(-10, 10, (64, 3)).astype(np.float32)
+    out = knn.surf_correspondences(
+        jnp.asarray(queries), jnp.ones(64, bool), ref, tile=128
+    )
+    for i in range(64):
+        a, b, c = literal_surf_match(queries[i], xyz, ring)
+        if a < 0 or b < 0 or c < 0:
+            assert not bool(out.valid[i])
+        else:
+            assert bool(out.valid[i])
+            assert int(out.a_idx[i]) == a
+            db_k = np.sum((xyz[int(out.b_idx[i])] - queries[i]) ** 2)
+            db_o = np.sum((xyz[b] - queries[i]) ** 2)
+            np.testing.assert_allclose(db_k, db_o, rtol=1e-5)
+            dc_k = np.sum((xyz[int(out.c_idx[i])] - queries[i]) ** 2)
+            dc_o = np.sum((xyz[c] - queries[i]) ** 2)
+            np.testing.assert_allclose(dc_k, dc_o, rtol=1e-5)
+            assert ring[int(out.b_idx[i])] == ring[a]
+            assert ring[int(out.c_idx[i])] != ring[a]
+
+
+def test_knn_tiled_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    ref = rng.uniform(-5, 5, (1000, 3)).astype(np.float32)
+    mask = np.ones(1000, bool)
+    mask[900:] = False
+    q = rng.uniform(-5, 5, (32, 3)).astype(np.float32)
+    d, i = knn.knn_tiled(jnp.asarray(q), jnp.asarray(ref), jnp.asarray(mask),
+                         k=5, tile=256)
+    d, i = np.asarray(d), np.asarray(i)
+    full = np.sum((q[:, None, :] - ref[None, :900, :]) ** 2, axis=-1)
+    for r in range(32):
+        expect = np.sort(full[r])[:5]
+        np.testing.assert_allclose(np.sort(d[r]), expect, rtol=1e-3, atol=1e-4)
+        assert (i[r] < 900).all()
+    # ascending order within each row
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+def test_masked_queries_invalid():
+    rng = np.random.default_rng(3)
+    xyz, rel, ring = make_ring_sorted_cloud(rng)
+    ref = PointCloud(xyz=jnp.asarray(xyz), rel=jnp.asarray(rel),
+                     mask=jnp.ones(len(xyz), bool))
+    q = rng.uniform(-5, 5, (8, 3)).astype(np.float32)
+    out = knn.corner_correspondences(jnp.asarray(q), jnp.zeros(8, bool), ref)
+    assert not np.asarray(out.valid).any()
