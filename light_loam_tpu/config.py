@@ -168,6 +168,9 @@ class MappingConfig:
     plane_fit_gate: float = 0.2
 
     # ---- static capacities ----
+    # Whole cube-map point stores (all 21x21x11 cells, flat layout).
+    map_corner_capacity: int = 131072
+    map_surf_capacity: int = 262144
     # Device-side local map (5x5x3 cell gather) capacities.
     local_corner_capacity: int = 32768
     local_surf_capacity: int = 65536

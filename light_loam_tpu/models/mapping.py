@@ -1,0 +1,346 @@
+"""Scan-to-map back end with the sliding voxel-cube world map
+(reference: src/laserMapping.cpp).
+
+TPU-native re-design of the reference's 21×21×11 array of per-cell point
+clouds (ref:45-75): the map lives as two flat fixed-capacity point stores
+(corner/surf), each point tagged with its linear cube-cell index.  The
+pointer-shuffle recentering (six while-loops, ref:1595-1779) becomes pure
+index arithmetic: shifting the grid adds a constant to every point's cell
+index and drops points that roll out of the grid — no data movement.  The
+per-cell voxel re-filter (ref:2154-2168) becomes one fused
+voxel-dedup over the whole store with the cell id folded into the voxel
+key (idempotent for untouched cells, so equivalent to filtering only
+touched ones).
+
+Per frame (`process`, ref:1502-2354):
+  1. odom→map association (ref:113-117,1581);
+  2. grid recentering with ≥3-cell margin (ref:1584-1779);
+  3. 5×5×3 local-map gather (ref:1784-1809) + stack downsample
+     (ref:1814-1822);
+  4. if the local map is big enough (ref:1826): 2 outer iterations of
+     5-NN → line/plane fit → LM (ref:1834-2094);
+  5. transformUpdate (ref:119-123,2101);
+  6. scatter registered stack into the map + voxel dedup (ref:2104-2168).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from light_loam_tpu.config import MappingConfig
+from light_loam_tpu.core import quaternion as quat
+from light_loam_tpu.core.frame import PointCloud
+from light_loam_tpu.ops import knn
+from light_loam_tpu.ops.eig3 import eigh3x3
+from light_loam_tpu.ops.voxel import voxel_downsample
+from light_loam_tpu.solver import (
+    EdgeFactors,
+    FactorSet,
+    PlaneNormFactors,
+    lm_solve,
+)
+
+
+class MapStore(NamedTuple):
+    """Flat point store for one feature type over the whole cube grid."""
+
+    xyz: jnp.ndarray   # (N, 3) world coordinates
+    cell: jnp.ndarray  # (N,) linear cube index i + W*j + W*H*k
+    mask: jnp.ndarray  # (N,)
+
+    @staticmethod
+    def zeros(capacity: int) -> "MapStore":
+        return MapStore(
+            xyz=jnp.zeros((capacity, 3), jnp.float32),
+            cell=jnp.zeros((capacity,), jnp.int32),
+            mask=jnp.zeros((capacity,), bool),
+        )
+
+
+class MappingState(NamedTuple):
+    corner: MapStore
+    surf: MapStore
+    cen: jnp.ndarray   # (3,) int32 — laserCloudCenWidth/Height/Depth
+    q_wm: jnp.ndarray  # (4,) map←odom rotation (q_wmap_wodom)
+    t_wm: jnp.ndarray  # (3,)
+
+    @staticmethod
+    def init(cfg: MappingConfig) -> "MappingState":
+        return MappingState(
+            corner=MapStore.zeros(cfg.map_corner_capacity),
+            surf=MapStore.zeros(cfg.map_surf_capacity),
+            # initial grid center (laserMapping.cpp:45-47)
+            cen=jnp.asarray([10, 10, 5], jnp.int32),
+            q_wm=quat.quat_identity(),
+            t_wm=jnp.zeros(3),
+        )
+
+
+class MappingOutput(NamedTuple):
+    q_w: jnp.ndarray
+    t_w: jnp.ndarray
+    corner_factors: jnp.ndarray
+    surf_factors: jnp.ndarray
+    map_corner_points: jnp.ndarray
+    map_surf_points: jnp.ndarray
+
+
+def _cube_of(xyz: jnp.ndarray, cen: jnp.ndarray, cfg: MappingConfig):
+    """World position -> (i, j, k) cube coordinate (laserMapping.cpp:1584-1593:
+    int((x+25)/50)+cen with a −1 correction for negatives == floor)."""
+    half = cfg.cube_size / 2.0
+    return (
+        jnp.floor((xyz + half) / cfg.cube_size).astype(jnp.int32) + cen[None, :]
+    )
+
+
+def _cell_linear(ijk: jnp.ndarray, cfg: MappingConfig):
+    return (
+        ijk[..., 0]
+        + cfg.cube_width * ijk[..., 1]
+        + cfg.cube_width * cfg.cube_height * ijk[..., 2]
+    )
+
+
+def _cell_split(cell: jnp.ndarray, cfg: MappingConfig):
+    i = cell % cfg.cube_width
+    j = (cell // cfg.cube_width) % cfg.cube_height
+    k = cell // (cfg.cube_width * cfg.cube_height)
+    return jnp.stack([i, j, k], axis=-1)
+
+
+def _recenter(state: MappingState, t_w: jnp.ndarray, cfg: MappingConfig):
+    """Shift the grid so the pose cube keeps a ≥3-cell margin
+    (ref:1595-1779); returns (new state fields, center cube ijk)."""
+    dims = jnp.asarray(
+        [cfg.cube_width, cfg.cube_height, cfg.cube_depth], jnp.int32
+    )
+    center = _cube_of(t_w[None, :], state.cen, cfg)[0]
+    m = cfg.recenter_margin
+    shift = jnp.maximum(0, m - center) - jnp.maximum(0, center - (dims - m - 1))
+    center = center + shift
+    cen = state.cen + shift
+
+    def apply(store: MapStore) -> MapStore:
+        ijk = _cell_split(store.cell, cfg) + shift[None, :]
+        inside = jnp.all((ijk >= 0) & (ijk < dims[None, :]), axis=-1)
+        return MapStore(
+            xyz=store.xyz,
+            cell=jnp.where(
+                inside, _cell_linear(ijk, cfg), 0
+            ).astype(jnp.int32),
+            mask=store.mask & inside,
+        )
+
+    return apply(state.corner), apply(state.surf), cen, center
+
+
+def _gather_local(store: MapStore, center: jnp.ndarray, cfg: MappingConfig,
+                  capacity: int):
+    """Compact points of the 5×5×3 neighbourhood (ref:1784-1809) into a
+    fixed-capacity buffer ordered by cell id."""
+    ijk = _cell_split(store.cell, cfg)
+    d = jnp.abs(ijk - center[None, :])
+    local = (
+        store.mask
+        & (d[:, 0] <= cfg.local_half_i)
+        & (d[:, 1] <= cfg.local_half_j)
+        & (d[:, 2] <= cfg.local_half_k)
+    )
+    key = jnp.where(local, store.cell, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key, stable=True)[:capacity]
+    count = jnp.sum(local.astype(jnp.int32))
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+    return store.xyz[order], out_mask
+
+
+def _solve3x3(A: jnp.ndarray, b: jnp.ndarray):
+    """Batched 3×3 solve via adjugate (A (...,3,3), b (...,3))."""
+    a = A
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    adjT = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    safe_det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    x = jnp.einsum("...ij,...j->...i", adjT, b) / safe_det[..., None]
+    ok = jnp.abs(det) > 1e-20
+    return x, ok
+
+
+def line_fit_factors(stack_xyz, stack_mask, d, near, cfg: MappingConfig):
+    """Line factors from 5-NN covariance eigen-analysis (ref:1886-1921),
+    given precomputed neighbour sets (d (Q,k) ascending, near (Q,k,3))."""
+    center = jnp.mean(near, axis=1)
+    diff = near - center[:, None, :]
+    cov = jnp.einsum("qni,qnj->qij", diff, diff)
+    vals, vmax = eigh3x3(cov)
+    is_line = vals[:, 2] > cfg.line_eig_ratio * vals[:, 1]
+    ok = stack_mask & (d[:, cfg.knn_k - 1] < cfg.knn_sq_gate) & is_line
+    a = center + cfg.line_point_offset * vmax
+    b = center - cfg.line_point_offset * vmax
+    n = stack_xyz.shape[0]
+    return EdgeFactors(
+        cp=stack_xyz, a=a, b=b,
+        s=jnp.ones(n, jnp.float32),
+        weight=jnp.ones(n, jnp.float32),
+        mask=ok,
+    )
+
+
+def plane_fit_factors(stack_xyz, stack_mask, d, near, cfg: MappingConfig):
+    """Plane factors from 5-NN least-squares fit A·n = −1 (ref:1948-2036),
+    given precomputed neighbour sets."""
+    AtA = jnp.einsum("qni,qnj->qij", near, near)
+    Atb = -jnp.sum(near, axis=1)
+    nvec, solv_ok = _solve3x3(AtA, Atb)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(nvec * nvec, axis=-1), 1e-20))
+    neg_d = 1.0 / norm
+    n_hat = nvec / norm[:, None]
+    resid = jnp.abs(jnp.einsum("qni,qi->qn", near, n_hat) + neg_d[:, None])
+    plane_ok = jnp.all(resid <= cfg.plane_fit_gate, axis=1)
+    ok = (
+        stack_mask
+        & (d[:, cfg.knn_k - 1] < cfg.knn_sq_gate)
+        & plane_ok
+        & solv_ok
+    )
+    n = stack_xyz.shape[0]
+    return PlaneNormFactors(
+        cp=stack_xyz, n=n_hat, d=neg_d,
+        weight=jnp.ones(n, jnp.float32),
+        mask=ok,
+    )
+
+
+def _merge_into_store(store: MapStore, new_xyz, new_mask, cen, cfg,
+                      leaf: float, capacity: int) -> MapStore:
+    """Append registered points and voxel-dedup the whole store
+    (ref:2104-2168); points outside the grid are dropped (ref:2119-2121)."""
+    ijk = _cube_of(new_xyz, cen, cfg)
+    dims = jnp.asarray(
+        [cfg.cube_width, cfg.cube_height, cfg.cube_depth], jnp.int32
+    )
+    inside = jnp.all((ijk >= 0) & (ijk < dims[None, :]), axis=-1)
+    new_cell = jnp.where(inside, _cell_linear(ijk, cfg), 0)
+    new_mask = new_mask & inside
+
+    all_xyz = jnp.concatenate([store.xyz, new_xyz], axis=0)
+    all_cell = jnp.concatenate([store.cell, new_cell.astype(jnp.int32)], axis=0)
+    all_mask = jnp.concatenate([store.mask, new_mask], axis=0)
+    xyz, _, mask, cell = voxel_downsample(
+        all_xyz, jnp.zeros(all_xyz.shape[0], jnp.float32), all_mask,
+        leaf, capacity, extra_key=all_cell,
+    )
+    return MapStore(xyz=xyz, cell=cell, mask=mask)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mapping_step(
+    state: MappingState,
+    corner_last: PointCloud,
+    surf_last: PointCloud,
+    q_odom: jnp.ndarray,
+    t_odom: jnp.ndarray,
+    cfg: MappingConfig,
+) -> Tuple[MappingState, MappingOutput]:
+    # 1. initial guess from odometry (ref:113-117)
+    q_w = quat.quat_normalize(quat.quat_multiply(state.q_wm, q_odom))
+    t_w = quat.quat_rotate(state.q_wm, t_odom) + state.t_wm
+
+    # 2. recenter grid
+    corner_store, surf_store, cen, center = _recenter(state, t_w, cfg)
+
+    # 3. local map + stacks
+    local_c_xyz, local_c_mask = _gather_local(
+        corner_store, center, cfg, cfg.local_corner_capacity
+    )
+    local_s_xyz, local_s_mask = _gather_local(
+        surf_store, center, cfg, cfg.local_surf_capacity
+    )
+    stack_c_xyz, _, stack_c_mask, _ = voxel_downsample(
+        corner_last.xyz, corner_last.rel, corner_last.mask,
+        cfg.line_resolution, cfg.stack_corner_capacity,
+    )
+    stack_s_xyz, _, stack_s_mask, _ = voxel_downsample(
+        surf_last.xyz, surf_last.rel, surf_last.mask,
+        cfg.plane_resolution, cfg.stack_surf_capacity,
+    )
+
+    n_local_c = jnp.sum(local_c_mask.astype(jnp.int32))
+    n_local_s = jnp.sum(local_s_mask.astype(jnp.int32))
+    big_enough = (n_local_c > cfg.min_corner_map_points) & (
+        n_local_s > cfg.min_surf_map_points
+    )
+
+    # 4. scan-to-map refinement (2 outer × 4 LM)
+    def neighbours(stack_xyz, local_xyz, local_mask, q_w, t_w):
+        p_sel = quat.quat_rotate(q_w[None, :], stack_xyz) + t_w[None, :]
+        d, idx = knn.knn_tiled(p_sel, local_xyz, local_mask, k=cfg.knn_k,
+                               tile=cfg.knn_tile)
+        return d, local_xyz[idx]
+
+    n_cf = jnp.int32(0)
+    n_sf = jnp.int32(0)
+    for _ in range(cfg.outer_iterations):
+        d_c, near_c = neighbours(stack_c_xyz, local_c_xyz, local_c_mask, q_w, t_w)
+        ef = line_fit_factors(
+            stack_c_xyz, stack_c_mask & big_enough, d_c, near_c, cfg
+        )
+        d_s, near_s = neighbours(stack_s_xyz, local_s_xyz, local_s_mask, q_w, t_w)
+        pf = plane_fit_factors(
+            stack_s_xyz, stack_s_mask & big_enough, d_s, near_s, cfg
+        )
+        q_w, t_w, _cost = lm_solve(
+            q_w, t_w, FactorSet(edge=ef, plane_norm=pf),
+            n_iterations=cfg.inner_iterations,
+            huber_delta=cfg.huber_delta,
+        )
+        n_cf = jnp.sum(ef.mask.astype(jnp.int32))
+        n_sf = jnp.sum(pf.mask.astype(jnp.int32))
+
+    # 5. refresh odom→map correction (ref:119-123)
+    q_wm = quat.quat_normalize(
+        quat.quat_multiply(q_w, quat.quat_inverse(q_odom))
+    )
+    t_wm = t_w - quat.quat_rotate(q_wm, t_odom)
+
+    # 6. register stacks into the map
+    reg_c = quat.quat_rotate(q_w[None, :], stack_c_xyz) + t_w[None, :]
+    reg_s = quat.quat_rotate(q_w[None, :], stack_s_xyz) + t_w[None, :]
+    corner_store = _merge_into_store(
+        corner_store, reg_c, stack_c_mask, cen, cfg,
+        cfg.line_resolution, cfg.map_corner_capacity,
+    )
+    surf_store = _merge_into_store(
+        surf_store, reg_s, stack_s_mask, cen, cfg,
+        cfg.plane_resolution, cfg.map_surf_capacity,
+    )
+
+    new_state = MappingState(
+        corner=corner_store, surf=surf_store, cen=cen, q_wm=q_wm, t_wm=t_wm
+    )
+    out = MappingOutput(
+        q_w=q_w, t_w=t_w,
+        corner_factors=n_cf, surf_factors=n_sf,
+        map_corner_points=jnp.sum(corner_store.mask.astype(jnp.int32)),
+        map_surf_points=jnp.sum(surf_store.mask.astype(jnp.int32)),
+    )
+    return new_state, out

@@ -1,0 +1,182 @@
+"""Scan-to-scan odometry front end (reference: src/laserOdometry.cpp).
+
+One jitted step per frame replicating the live-path schedule:
+
+  * 3 outer re-association iterations (ref:439), each rebuilding
+    correspondences with the current incremental pose and running 4 LM
+    iterations (Ceres max_num_iterations=4, ref:822);
+  * corner features → LidarEdgeFactor for every valid match, unweighted
+    (ref:615-617);
+  * planar features → frames ≤ 5: all valid matches at weight 1
+    (ref:781-787); frames > 5: only graph-vote-selected matches at the
+    vote weight (ref:794-810);
+  * world-pose integration t_w += q_w·t_lc, q_w *= q_lc (ref:830-831);
+  * feature clouds swap into the "last" role for the next frame
+    (ref:882-896); the incremental pose warm-starts the next solve (the
+    reference never resets para_q/para_t).
+
+The first frame initializes state without solving (ref:427-431); here that
+falls out naturally: the empty "last" clouds yield zero valid factors and
+the LM no-ops, so the step is branch-free.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from light_loam_tpu.config import OdometryConfig
+from light_loam_tpu.core import quaternion as quat
+from light_loam_tpu.core.frame import PointCloud, ScanFeatures
+from light_loam_tpu.ops import graphvote, knn
+from light_loam_tpu.solver import (
+    EdgeFactors,
+    FactorSet,
+    lm_solve,
+    make_plane_factors,
+)
+
+
+class OdometryState(NamedTuple):
+    corner_last: PointCloud  # previous less-sharp cloud
+    surf_last: PointCloud    # previous less-flat cloud
+    q_w: jnp.ndarray         # (4,) world←current rotation
+    t_w: jnp.ndarray         # (3,)
+    q_lc: jnp.ndarray        # (4,) last←current increment (warm start)
+    t_lc: jnp.ndarray        # (3,)
+    frame: jnp.ndarray       # int32 — `now_frame` counter
+
+    @staticmethod
+    def init(corner_capacity: int, surf_capacity: int) -> "OdometryState":
+        return OdometryState(
+            corner_last=PointCloud.zeros(corner_capacity),
+            surf_last=PointCloud.zeros(surf_capacity),
+            q_w=quat.quat_identity(),
+            t_w=jnp.zeros(3),
+            q_lc=quat.quat_identity(),
+            t_lc=jnp.zeros(3),
+            frame=jnp.int32(0),
+        )
+
+
+class OdometryOutput(NamedTuple):
+    q_w: jnp.ndarray
+    t_w: jnp.ndarray
+    corner_count: jnp.ndarray
+    plane_count: jnp.ndarray
+
+
+def _transform_to_start(q, t, pc: PointCloud, distortion: bool, scan_period: float):
+    """TransformToStart (laserOdometry.cpp:77-95): s ≡ 1 unless the
+    undistortion hook is enabled."""
+    if distortion:
+        s = (pc.rel - jnp.floor(pc.rel)) / scan_period
+    else:
+        s = jnp.ones_like(pc.rel)
+    qb = jnp.broadcast_to(q, pc.xyz.shape[:1] + (4,))
+    qs = quat.quat_slerp_identity(qb, s)
+    return quat.quat_rotate(qs, pc.xyz) + s[:, None] * t[None, :], s
+
+
+@partial(jax.jit, static_argnames=("cfg", "scan_period"))
+def odometry_step(
+    state: OdometryState,
+    feats: ScanFeatures,
+    cfg: OdometryConfig,
+    scan_period: float = 0.1,
+) -> Tuple[OdometryState, OdometryOutput]:
+    sharp, flat = feats.sharp, feats.flat
+    q, t = state.q_lc, state.t_lc
+
+    n_flat_cap = flat.capacity
+    chunk_cap = n_flat_cap // cfg.plane_vote_regions + cfg.plane_vote_regions
+
+    corner_valid = jnp.zeros_like(sharp.mask)
+    plane_valid = jnp.zeros_like(flat.mask)
+
+    for _ in range(cfg.outer_iterations):
+        sharp_sel, s_sharp = _transform_to_start(
+            q, t, sharp, cfg.distortion, scan_period
+        )
+        flat_sel, s_flat = _transform_to_start(
+            q, t, flat, cfg.distortion, scan_period
+        )
+
+        cm = knn.corner_correspondences(
+            sharp_sel, sharp.mask, state.corner_last,
+            cfg.distance_sq_threshold, cfg.nearby_scan,
+        )
+        sm = knn.surf_correspondences(
+            flat_sel, flat.mask, state.surf_last,
+            cfg.distance_sq_threshold, cfg.nearby_scan,
+        )
+
+        edge = EdgeFactors(
+            cp=sharp.xyz,
+            a=state.corner_last.xyz[cm.a_idx],
+            b=state.corner_last.xyz[cm.b_idx],
+            s=s_sharp,
+            weight=jnp.ones_like(s_sharp),
+            mask=cm.valid,
+        )
+
+        # graph vote on plane correspondences: src is the RAW current point,
+        # tgt the matched 1-NN (laserOdometry.cpp:751-757)
+        vote = graphvote.simple_vote(
+            flat.xyz,
+            state.surf_last.xyz[sm.a_idx],
+            sm.valid,
+            n_regions=cfg.plane_vote_regions,
+            chunk_capacity=chunk_cap,
+            score_threshold=cfg.vote_score_threshold,
+            resolution=cfg.vote_resolution,
+            selected_ratio=cfg.vote_selected_ratio,
+            low_vote_count=cfg.vote_low_vote_count,
+            low_vote_weight=cfg.vote_low_vote_weight,
+            high_vote_weight=cfg.vote_high_vote_weight,
+        )
+        use_vote = state.frame > cfg.vote_start_frame
+        plane_weight = jnp.where(use_vote, vote.weight, 1.0)
+        plane_mask = sm.valid & jnp.where(use_vote, vote.selected, True)
+
+        plane = make_plane_factors(
+            cp=flat.xyz,
+            a=state.surf_last.xyz[sm.a_idx],
+            b=state.surf_last.xyz[sm.b_idx],
+            c=state.surf_last.xyz[sm.c_idx],
+            s=s_flat,
+            weight=plane_weight,
+            mask=plane_mask,
+        )
+
+        q, t, _cost = lm_solve(
+            q, t, FactorSet(edge=edge, plane=plane),
+            n_iterations=cfg.inner_iterations,
+            huber_delta=cfg.huber_delta,
+        )
+        corner_valid = cm.valid
+        plane_valid = plane_mask
+
+    # world pose integration (laserOdometry.cpp:830-831)
+    t_w = state.t_w + quat.quat_rotate(state.q_w, t)
+    q_w = quat.quat_normalize(quat.quat_multiply(state.q_w, q))
+
+    new_state = OdometryState(
+        corner_last=feats.less_sharp,
+        surf_last=feats.less_flat,
+        q_w=q_w,
+        t_w=t_w,
+        q_lc=q,
+        t_lc=t,
+        frame=state.frame + 1,
+    )
+    out = OdometryOutput(
+        q_w=q_w,
+        t_w=t_w,
+        corner_count=jnp.sum(corner_valid.astype(jnp.int32)),
+        plane_count=jnp.sum(plane_valid.astype(jnp.int32)),
+    )
+    return new_state, out

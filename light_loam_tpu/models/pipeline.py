@@ -1,0 +1,238 @@
+"""End-to-end SLAM pipeline: the host frame loop replacing the reference's
+four ROS processes and pub/sub topics (SURVEY.md §1 dataflow).
+
+Stage graph per frame (all device compute, host only moves bytes):
+
+    raw cloud ──▶ extract_features ──▶ odometry_step ──▶ mapping_step
+                   (E2, 10 Hz)          (E3, 10 Hz)       (E4, ≤10 Hz)
+
+The reference's real-time back-pressure — mapping drains its backlog and
+drops frames (laserMapping.cpp:1571-1575) — is preserved through JAX's
+async dispatch: a mapping step is only dispatched when the previous one
+has retired (`is_ready`), otherwise the frame is dropped for mapping while
+odometry continues at full rate.  The `mapping_skip_frame` decimation
+(laserOdometry.cpp:898-919) is applied before the drop policy, like the
+reference's publish gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from light_loam_tpu.config import (
+    HDL32,
+    HDL64_KITTI,
+    VLP16,
+    PipelineConfig,
+)
+from light_loam_tpu.core import quaternion as quat
+from light_loam_tpu.models.mapping import MappingState, mapping_step
+from light_loam_tpu.models.odometry import OdometryState, odometry_step
+from light_loam_tpu.ops.features import extract_features
+from light_loam_tpu.utils.timing import StageTimers
+
+PROFILES = {"hdl64": HDL64_KITTI, "vlp16": VLP16, "hdl32": HDL32}
+
+
+@dataclass
+class FrameResult:
+    frame: int
+    odom_q: np.ndarray
+    odom_t: np.ndarray
+    mapped: bool
+    map_q: Optional[np.ndarray] = None
+    map_t: Optional[np.ndarray] = None
+
+
+@dataclass
+class Pipeline:
+    cfg: PipelineConfig = field(default_factory=lambda: HDL64_KITTI)
+
+    def __post_init__(self):
+        scan = self.cfg.scan
+        self.odo_state = OdometryState.init(scan.max_less_sharp, scan.max_less_flat)
+        self.map_state = MappingState.init(self.cfg.mapping)
+        self.frame = 0
+        self.dropped_mapping_frames = 0
+        self.timers = StageTimers(budget_ms=self.cfg.frame_budget_ms)
+        self._pending_map_out = None
+        self._pending_map_state = None
+        self._last_map_pose = (
+            np.asarray(quat.quat_identity()),
+            np.zeros(3, np.float32),
+        )
+
+    # -- mapping back-pressure ------------------------------------------
+    def _mapping_busy(self) -> bool:
+        if self._pending_map_out is None:
+            return False
+        try:
+            return not self._pending_map_out.t_w.is_ready()
+        except AttributeError:
+            return False
+
+    def _retire_mapping(self, wait: bool) -> None:
+        if self._pending_map_out is None:
+            return
+        if wait or self._pending_map_out.t_w.is_ready():
+            out = self._pending_map_out
+            self.map_state = self._pending_map_state
+            self._last_map_pose = (np.asarray(out.q_w), np.asarray(out.t_w))
+            self._pending_map_out = None
+            self._pending_map_state = None
+
+    # -- one frame ------------------------------------------------------
+    def process_frame(self, xyz: np.ndarray, mask: np.ndarray) -> FrameResult:
+        cfg = self.cfg
+        with self.timers.stage("features"):
+            feats = extract_features(jnp.asarray(xyz), jnp.asarray(mask), cfg.scan)
+        with self.timers.stage("odometry"):
+            self.odo_state, odo = odometry_step(
+                self.odo_state, feats, cfg.odometry, cfg.scan.scan_period
+            )
+
+        mapped = False
+        if self.frame % cfg.odometry.skip_frame_num == 0:
+            self._retire_mapping(wait=not cfg.drop_mapping_backlog)
+            if self._mapping_busy():
+                # previous mapping still in flight → drop this frame
+                # (laserMapping.cpp:1571-1575)
+                self.dropped_mapping_frames += 1
+            else:
+                with self.timers.stage("mapping_dispatch"):
+                    new_state, map_out = mapping_step(
+                        self.map_state,
+                        self.odo_state.corner_last,
+                        self.odo_state.surf_last,
+                        odo.q_w,
+                        odo.t_w,
+                        cfg.mapping,
+                    )
+                self._pending_map_out = map_out
+                self._pending_map_state = new_state
+                mapped = True
+
+        result = FrameResult(
+            frame=self.frame,
+            odom_q=np.asarray(odo.q_w),
+            odom_t=np.asarray(odo.t_w),
+            mapped=mapped,
+        )
+        if mapped:
+            self._retire_mapping(wait=True)
+            result.map_q, result.map_t = self._last_map_pose
+        self.frame += 1
+        self.timers.frame_done()
+        return result
+
+    # -- current best pose (the high-frequency publish path,
+    #    laserMapping.cpp:168-247, without the rslidar Euler remap) ------
+    def high_freq_pose(self, odo_q: np.ndarray, odo_t: np.ndarray):
+        ms = self.map_state
+        q = np.asarray(
+            quat.quat_multiply(ms.q_wm, jnp.asarray(odo_q))
+        )
+        t = np.asarray(quat.quat_rotate(ms.q_wm, jnp.asarray(odo_t))) + np.asarray(
+            ms.t_wm
+        )
+        return q, t
+
+
+def run_synthetic(
+    n_frames: int = 20,
+    profile: str = "hdl64",
+    n_azimuth: int = 1800,
+    speed: float = 1.0,
+    seed: int = 0,
+):
+    """Drive the pipeline over a simulated straight run; returns
+    (pipeline, results, true positions)."""
+    from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
+
+    cfg = PROFILES[profile]
+    pipe = Pipeline(cfg)
+    world = World.urban(seed=seed)
+    results = []
+    truth = []
+    for i in range(n_frames):
+        pos = np.array([speed * i, 0.02 * i, 0.0])
+        pts = simulate_scan(
+            world, pos, n_rings=cfg.scan.n_scans,
+            lower_deg=cfg.scan.lower_bound_deg,
+            upper_deg=cfg.scan.upper_bound_deg,
+            n_azimuth=n_azimuth, noise=0.01, seed=100 + i,
+        )
+        xyz, mask = pad_cloud(pts, cfg.scan.max_points)
+        results.append(pipe.process_frame(xyz, mask))
+        truth.append(pos)
+    pipe._retire_mapping(wait=True)
+    return pipe, results, np.asarray(truth)
+
+
+def run_kitti(
+    dataset_folder: str,
+    sequence: str,
+    result_path: str,
+    profile: str = "hdl64",
+    max_frames: Optional[int] = None,
+):
+    """KITTI sequence → trajectory file (the reference's RESULT_PATH
+    artifact, laserMapping.cpp:2284-2326)."""
+    from light_loam_tpu.io.kitti import KittiPoseWriter, KittiSequence
+    from light_loam_tpu.utils.synthetic import pad_cloud
+
+    cfg = PROFILES[profile]
+    pipe = Pipeline(cfg)
+    seq = KittiSequence(dataset_folder, sequence)
+    writer = KittiPoseWriter(result_path)
+    n = len(seq) if max_frames is None else min(len(seq), max_frames)
+    count = 0
+    for ts, pts4 in seq:
+        if count >= n:
+            break
+        xyz, mask = pad_cloud(pts4[:, :3], cfg.scan.max_points)
+        res = pipe.process_frame(xyz, mask)
+        q, t = pipe.high_freq_pose(res.odom_q, res.odom_t)
+        R = np.asarray(quat.quat_to_matrix(jnp.asarray(q)))
+        writer.write(R, t)
+        count += 1
+    pipe._retire_mapping(wait=True)
+    return pipe
+
+
+def main():
+    ap = argparse.ArgumentParser(description="light_loam_tpu SLAM pipeline")
+    ap.add_argument("--dataset", help="KITTI dataset folder (kittiHelper layout)")
+    ap.add_argument("--sequence", default="04")
+    ap.add_argument("--result", default="trajectory.txt")
+    ap.add_argument("--profile", default="hdl64", choices=sorted(PROFILES))
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="run on the synthetic world instead of KITTI data")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    if args.synthetic or not args.dataset:
+        pipe, results, truth = run_synthetic(
+            n_frames=args.frames or 20, profile=args.profile
+        )
+        err = np.linalg.norm(results[-1].odom_t - truth[-1])
+        print(f"frames: {len(results)}  final pose error: {err:.3f} m")
+    else:
+        pipe = run_kitti(args.dataset, args.sequence, args.result,
+                         args.profile, args.frames)
+        print(f"trajectory written to {args.result}")
+    dt = time.time() - t0
+    print(f"wall: {dt:.2f}s  dropped mapping frames: {pipe.dropped_mapping_frames}")
+    print(pipe.timers.report())
+
+
+if __name__ == "__main__":
+    main()

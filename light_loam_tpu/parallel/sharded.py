@@ -1,0 +1,292 @@
+"""Multi-device map sharding over a jax.sharding Mesh.
+
+The reference's only distribution mechanism is ROS pub/sub between four
+processes (SURVEY.md §2.7).  The TPU-native scaling axis is *spatial map
+sharding* (BASELINE.json north star): the cube map's point stores are
+partitioned across devices by **cell hash** (cell_id mod n_devices), so
+
+  * voxel dedup stays purely local (a voxel lives in exactly one cell,
+    a cell on exactly one device);
+  * the 5×5×3 local-map gather is local filtering;
+  * k-NN runs as local-shard top-k followed by one all_gather of the
+    (Q, k) candidate sets and a replicated merge — candidates ride ICI,
+    never the full map;
+  * Gauss-Newton normal equations are computed per-device over a slice of
+    the query stack and psum-reduced (lm_solve(axis_name=...)), every
+    device then solves the identical 6×6 system.
+
+The same program runs unchanged on a virtual CPU mesh
+(xla_force_host_platform_device_count) and a real TPU slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from light_loam_tpu.config import MappingConfig
+from light_loam_tpu.core import quaternion as quat
+from light_loam_tpu.core.frame import PointCloud
+from light_loam_tpu.models.mapping import (
+    MapStore,
+    MappingOutput,
+    MappingState,
+    _cell_linear,
+    _cube_of,
+    _gather_local,
+    _recenter,
+    line_fit_factors,
+    plane_fit_factors,
+)
+from light_loam_tpu.ops import knn
+from light_loam_tpu.ops.voxel import voxel_downsample
+from light_loam_tpu.solver import FactorSet, lm_solve
+
+AXIS = "map"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(devs[:n], (AXIS,))
+
+
+def shard_mapping_state(state: MappingState, mesh: Mesh) -> MappingState:
+    """Place the point stores sharded over the mesh (points dimension) and
+    re-assign each point to its owner device by cell hash."""
+    n = mesh.shape[AXIS]
+
+    def redistribute(store: MapStore, capacity: int) -> MapStore:
+        # owner = cell % n; within each owner, pack points contiguously at
+        # slot owner*cap_shard + rank.
+        cap_shard = capacity // n
+        owner = jnp.where(store.mask, store.cell % n, n)
+        key = owner * capacity + jnp.arange(store.cell.shape[0], dtype=jnp.int32)
+        order = jnp.argsort(key, stable=True)
+        # rank within owner group
+        owner_s = owner[order]
+        idx = jnp.arange(order.shape[0], dtype=jnp.int32)
+        first = jnp.full((n + 1,), order.shape[0], jnp.int32).at[owner_s].min(idx)
+        rank = idx - first[owner_s]
+        dest = jnp.where(
+            (owner_s < n) & (rank < cap_shard),
+            owner_s * cap_shard + rank,
+            capacity,
+        )
+        xyz = jnp.zeros((capacity + 1, 3), store.xyz.dtype).at[dest].set(
+            store.xyz[order]
+        )[:capacity]
+        cell = jnp.zeros((capacity + 1,), jnp.int32).at[dest].set(
+            store.cell[order]
+        )[:capacity]
+        mask = jnp.zeros((capacity + 1,), bool).at[dest].set(
+            store.mask[order]
+        )[:capacity]
+        return MapStore(xyz=xyz, cell=cell, mask=mask)
+
+    corner = redistribute(state.corner, state.corner.xyz.shape[0])
+    surf = redistribute(state.surf, state.surf.xyz.shape[0])
+
+    shard_pts = NamedSharding(mesh, P(AXIS))
+    shard_pts2 = NamedSharding(mesh, P(AXIS, None))
+    repl = NamedSharding(mesh, P())
+
+    def place(store: MapStore) -> MapStore:
+        return MapStore(
+            xyz=jax.device_put(store.xyz, shard_pts2),
+            cell=jax.device_put(store.cell, shard_pts),
+            mask=jax.device_put(store.mask, shard_pts),
+        )
+
+    return MappingState(
+        corner=place(corner),
+        surf=place(surf),
+        cen=jax.device_put(state.cen, repl),
+        q_wm=jax.device_put(state.q_wm, repl),
+        t_wm=jax.device_put(state.t_wm, repl),
+    )
+
+
+def _merged_knn(p_sel, local_xyz, local_mask, cfg: MappingConfig):
+    """Local top-k against this device's shard, all_gather candidates,
+    replicated merge to the global top-k neighbour set."""
+    d_loc, idx_loc = knn.knn_tiled(
+        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile
+    )
+    near_loc = local_xyz[idx_loc]  # (Q, k, 3)
+    all_d = jax.lax.all_gather(d_loc, AXIS)      # (n, Q, k)
+    all_near = jax.lax.all_gather(near_loc, AXIS)  # (n, Q, k, 3)
+    n, Q, k = all_d.shape
+    flat_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, n * k)
+    flat_near = jnp.moveaxis(all_near, 0, 1).reshape(Q, n * k, 3)
+    neg, sel = jax.lax.top_k(-flat_d, k)
+    near = jnp.take_along_axis(flat_near, sel[..., None], axis=1)
+    return -neg, near
+
+
+def _slice_for_device(x, n):
+    i = jax.lax.axis_index(AXIS)
+    size = x.shape[0] // n
+    return jax.lax.dynamic_slice_in_dim(x, i * size, size, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def sharded_mapping_step(
+    state: MappingState,
+    corner_last: PointCloud,
+    surf_last: PointCloud,
+    q_odom: jnp.ndarray,
+    t_odom: jnp.ndarray,
+    cfg: MappingConfig,
+    mesh: Mesh,
+) -> Tuple[MappingState, MappingOutput]:
+    """Mapping step with cell-hash-sharded map stores.
+
+    Identical semantics to models.mapping.mapping_step up to k-NN
+    tie-breaking and dedup slot assignment; the map never leaves its
+    shard — only (Q, k) candidate sets and 6×6 normal equations cross
+    the interconnect.
+    """
+    n = mesh.shape[AXIS]
+
+    store_specs = MapStore(xyz=P(AXIS, None), cell=P(AXIS), mask=P(AXIS))
+    state_specs = MappingState(
+        corner=store_specs, surf=store_specs, cen=P(), q_wm=P(), t_wm=P()
+    )
+    cloud_spec = PointCloud(xyz=P(), rel=P(), mask=P())
+    out_specs = (
+        state_specs,
+        MappingOutput(
+            q_w=P(), t_w=P(), corner_factors=P(), surf_factors=P(),
+            map_corner_points=P(), map_surf_points=P(),
+        ),
+    )
+
+    def body(state, corner_last, surf_last, q_odom, t_odom):
+        q_w = quat.quat_normalize(quat.quat_multiply(state.q_wm, q_odom))
+        t_w = quat.quat_rotate(state.q_wm, t_odom) + state.t_wm
+
+        corner_store, surf_store, cen, center = _recenter(state, t_w, cfg)
+
+        local_c_xyz, local_c_mask = _gather_local(
+            corner_store, center, cfg, cfg.local_corner_capacity // n
+        )
+        local_s_xyz, local_s_mask = _gather_local(
+            surf_store, center, cfg, cfg.local_surf_capacity // n
+        )
+
+        # replicated stack downsample (identical on every device)
+        stack_c_xyz, _, stack_c_mask, _ = voxel_downsample(
+            corner_last.xyz, corner_last.rel, corner_last.mask,
+            cfg.line_resolution, cfg.stack_corner_capacity,
+        )
+        stack_s_xyz, _, stack_s_mask, _ = voxel_downsample(
+            surf_last.xyz, surf_last.rel, surf_last.mask,
+            cfg.plane_resolution, cfg.stack_surf_capacity,
+        )
+
+        n_local_c = jax.lax.psum(
+            jnp.sum(local_c_mask.astype(jnp.int32)), AXIS
+        )
+        n_local_s = jax.lax.psum(
+            jnp.sum(local_s_mask.astype(jnp.int32)), AXIS
+        )
+        big_enough = (n_local_c > cfg.min_corner_map_points) & (
+            n_local_s > cfg.min_surf_map_points
+        )
+
+        n_cf = jnp.int32(0)
+        n_sf = jnp.int32(0)
+        for _ in range(cfg.outer_iterations):
+            p_sel_c = quat.quat_rotate(q_w[None, :], stack_c_xyz) + t_w[None, :]
+            d_c, near_c = _merged_knn(p_sel_c, local_c_xyz, local_c_mask, cfg)
+            p_sel_s = quat.quat_rotate(q_w[None, :], stack_s_xyz) + t_w[None, :]
+            d_s, near_s = _merged_knn(p_sel_s, local_s_xyz, local_s_mask, cfg)
+
+            # every device builds factors for its own query slice;
+            # the normal equations are psum-reduced inside lm_solve
+            ef = line_fit_factors(
+                _slice_for_device(stack_c_xyz, n),
+                _slice_for_device(stack_c_mask & big_enough, n),
+                _slice_for_device(d_c, n),
+                _slice_for_device(near_c, n),
+                cfg,
+            )
+            pf = plane_fit_factors(
+                _slice_for_device(stack_s_xyz, n),
+                _slice_for_device(stack_s_mask & big_enough, n),
+                _slice_for_device(d_s, n),
+                _slice_for_device(near_s, n),
+                cfg,
+            )
+            q_w, t_w, _cost = lm_solve(
+                q_w, t_w, FactorSet(edge=ef, plane_norm=pf),
+                n_iterations=cfg.inner_iterations,
+                huber_delta=cfg.huber_delta,
+                axis_name=AXIS,
+            )
+            n_cf = jax.lax.psum(jnp.sum(ef.mask.astype(jnp.int32)), AXIS)
+            n_sf = jax.lax.psum(jnp.sum(pf.mask.astype(jnp.int32)), AXIS)
+
+        q_wm = quat.quat_normalize(
+            quat.quat_multiply(q_w, quat.quat_inverse(q_odom))
+        )
+        t_wm = t_w - quat.quat_rotate(q_wm, t_odom)
+
+        # merge registered stacks: each device keeps only the cells it owns
+        def merge(store: MapStore, stack_xyz, stack_mask, leaf, capacity):
+            reg = quat.quat_rotate(q_w[None, :], stack_xyz) + t_w[None, :]
+            ijk = _cube_of(reg, cen, cfg)
+            dims = jnp.asarray(
+                [cfg.cube_width, cfg.cube_height, cfg.cube_depth], jnp.int32
+            )
+            inside = jnp.all((ijk >= 0) & (ijk < dims[None, :]), axis=-1)
+            cell = jnp.where(inside, _cell_linear(ijk, cfg), 0).astype(jnp.int32)
+            mine = (cell % n) == jax.lax.axis_index(AXIS)
+            new_mask = stack_mask & inside & mine
+            all_xyz = jnp.concatenate([store.xyz, reg], axis=0)
+            all_cell = jnp.concatenate([store.cell, cell], axis=0)
+            all_mask = jnp.concatenate([store.mask, new_mask], axis=0)
+            xyz, _, mask, out_cell = voxel_downsample(
+                all_xyz, jnp.zeros(all_xyz.shape[0], jnp.float32), all_mask,
+                leaf, capacity // n, extra_key=all_cell,
+            )
+            return MapStore(xyz=xyz, cell=out_cell, mask=mask)
+
+        corner_store = merge(
+            corner_store, stack_c_xyz, stack_c_mask,
+            cfg.line_resolution, cfg.map_corner_capacity,
+        )
+        surf_store = merge(
+            surf_store, stack_s_xyz, stack_s_mask,
+            cfg.plane_resolution, cfg.map_surf_capacity,
+        )
+
+        new_state = MappingState(
+            corner=corner_store, surf=surf_store, cen=cen,
+            q_wm=q_wm, t_wm=t_wm,
+        )
+        out = MappingOutput(
+            q_w=q_w, t_w=t_w,
+            corner_factors=n_cf, surf_factors=n_sf,
+            map_corner_points=jax.lax.psum(
+                jnp.sum(corner_store.mask.astype(jnp.int32)), AXIS
+            ),
+            map_surf_points=jax.lax.psum(
+                jnp.sum(surf_store.mask.astype(jnp.int32)), AXIS
+            ),
+        )
+        return new_state, out
+
+    shard_fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(state_specs, cloud_spec, cloud_spec, P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return shard_fn(state, corner_last, surf_last, q_odom, t_odom)

@@ -101,6 +101,7 @@ def lm_solve(
     huber_delta: float = 0.1,
     lambda_init: float = 1e-4,
     min_factors: int = 1,
+    axis_name: str | None = None,
 ):
     """Run ``n_iterations`` LM steps from (q0, t0).
 
@@ -112,21 +113,30 @@ def lm_solve(
     laserOdometry.cpp:814-817 — we keep its behavior by defaulting to 1).
     """
 
+    def _allreduce(x):
+        # When solving inside a shard_map with factors sharded across
+        # ``axis_name``, normal equations and costs are partial sums —
+        # psum makes every device solve the identical global 6×6 system
+        # (the SURVEY §5/§2.7 distributed-GN design: collectives ride ICI).
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
     n_active = jnp.float32(0.0)
     for f in factors:
         if f is not None:
             n_active = n_active + jnp.sum(f.mask.astype(jnp.float32))
+    n_active = _allreduce(n_active)
     solvable = n_active >= min_factors
 
     def step(carry, _):
         q, t, lam, cost = carry
         H, g, _ = _residuals_all(q, t, factors, huber_delta)
+        H, g = _allreduce(H), _allreduce(g)
         damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         delta = -jax.scipy.linalg.solve(damped, g, assume_a="pos")
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros(6))
         q_new = quat.quat_normalize(quat.quat_multiply(q, quat.quat_exp(delta[:3])))
         t_new = t + delta[3:]
-        new_cost = _cost_only(q_new, t_new, factors, huber_delta)
+        new_cost = _allreduce(_cost_only(q_new, t_new, factors, huber_delta))
         accept = (new_cost < cost) & solvable
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
@@ -134,7 +144,7 @@ def lm_solve(
         lam = jnp.where(accept, lam * (1.0 / 3.0), lam * 4.0)
         return (q, t, lam, cost), None
 
-    cost0 = _cost_only(q0, t0, factors, huber_delta)
+    cost0 = _allreduce(_cost_only(q0, t0, factors, huber_delta))
     (q, t, _, cost), _ = jax.lax.scan(
         step, (q0, t0, jnp.float32(lambda_init), cost0), None, length=n_iterations
     )

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from light_loam_tpu.models import pipeline as pl
+
+
+@pytest.mark.slow
+def test_pipeline_synthetic_end_to_end():
+    pipe, results, truth = pl.run_synthetic(
+        n_frames=6, profile="hdl64", n_azimuth=700, speed=0.6, seed=2
+    )
+    assert len(results) == 6
+    # odometry should track the straight run
+    err = np.linalg.norm(results[-1].odom_t - truth[-1])
+    assert err < 0.35, f"odometry drift too high: {err} ({results[-1].odom_t})"
+    # mapping ran and produced poses
+    mapped = [r for r in results if r.mapped]
+    assert len(mapped) >= 3
+    err_map = np.linalg.norm(mapped[-1].map_t - truth[mapped[-1].frame])
+    assert err_map < 0.5
+    # timers collected all stages
+    rep = pipe.timers.report()
+    assert "features" in rep and "odometry" in rep
+
+
+def test_kitti_pose_writer(tmp_path):
+    from light_loam_tpu.io.kitti import KittiPoseWriter, read_gt_poses
+
+    path = tmp_path / "traj.txt"
+    w = KittiPoseWriter(str(path))
+    rng = np.random.default_rng(0)
+
+    def rand_R():
+        A = rng.normal(size=(3, 3))
+        q, _ = np.linalg.qr(A)
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        return q
+
+    poses = [(rand_R(), rng.normal(size=3)) for _ in range(4)]
+    for R, t in poses:
+        w.write(R, t)
+
+    out = read_gt_poses(str(path))
+    assert out.shape == (4, 3, 4)
+    # first pose must be identity (first-pose-relative)
+    np.testing.assert_allclose(out[0], np.eye(4)[:3], atol=1e-5)
+    # relative structure preserved: H0^-1 H1
+    H0 = np.eye(4); H0[:3, :3], H0[:3, 3] = poses[0]
+    H1 = np.eye(4); H1[:3, :3], H1[:3, 3] = poses[1]
+    expect = (np.linalg.inv(H0) @ H1)[:3]
+    np.testing.assert_allclose(out[1], expect, rtol=1e-4, atol=1e-5)
+
+
+def test_kitti_bin_roundtrip(tmp_path):
+    from light_loam_tpu.io.kitti import read_lidar_bin
+
+    pts = np.random.default_rng(0).normal(size=(100, 4)).astype(np.float32)
+    path = tmp_path / "000000.bin"
+    pts.tofile(path)
+    back = read_lidar_bin(str(path))
+    np.testing.assert_array_equal(back, pts)
+
+
+def test_gt_to_lidar_frame():
+    from light_loam_tpu.io.kitti import gt_to_lidar_frame, R_CAM_TO_LIDAR
+
+    gt = np.zeros((2, 3, 4))
+    gt[:, :, :3] = np.eye(3)
+    gt[0, :, 3] = [1.0, 2.0, 3.0]  # camera frame: x right, y down, z forward
+    R, t = gt_to_lidar_frame(gt)
+    # z_cam (forward) -> x_lidar; x_cam -> -y_lidar; y_cam -> -z_lidar
+    np.testing.assert_allclose(t[0], [3.0, -1.0, -2.0])
+    np.testing.assert_allclose(R[0], R_CAM_TO_LIDAR)
