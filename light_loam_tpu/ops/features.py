@@ -173,8 +173,59 @@ def _suppression_mask(col_ids, cand, ok_plus, ok_minus, cfg: ScanConfig):
     return m
 
 
-def select_features(grid: RangeImage, curv: jnp.ndarray, cfg: ScanConfig):
+def occlusion_mask(grid: RangeImage, cfg: ScanConfig) -> jnp.ndarray:
+    """Unreliable-point mask: shadow boundaries and parallel beams
+    (original LOAM §V-A; an accuracy extension over the reference — see
+    ScanConfig.occlusion_filter).
+
+    Returns (R, H) bool, True = suppress.  For a range discontinuity
+    between columns i and i+1 the FARTHER side's window is suppressed
+    (those points sit on an occlusion boundary that moves with sensor
+    parallax); beams grazing a surface (both neighbor gaps large relative
+    to range) are suppressed as unstable.
+    """
+    r = jnp.sqrt(jnp.sum(grid.xyz * grid.xyz, axis=-1))
+    r = jnp.where(grid.mask, r, 0.0)
+    R, H = r.shape
+    nxt = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+    both = grid.mask & jnp.concatenate(
+        [grid.mask[:, 1:], jnp.zeros((R, 1), bool)], axis=1
+    )
+    # trigger at column i about the (i, i+1) pair
+    far_here = both & (r - nxt > cfg.occlusion_gap)   # i is farther
+    far_next = both & (nxt - r > cfg.occlusion_gap)   # i+1 is farther
+
+    sup = jnp.zeros_like(grid.mask)
+    pad = cfg.occlusion_radius
+    fh = jnp.pad(far_here, ((0, 0), (0, pad)))
+    fn = jnp.pad(far_next, ((0, 0), (pad + 1, 0)))
+    for l in range(pad + 1):
+        # far_here at i suppresses i-l (l=0..radius)
+        sup = sup | jax.lax.dynamic_slice_in_dim(fh, l, H, axis=1)
+        # far_next at i suppresses i+1+l
+        sup = sup | jax.lax.dynamic_slice_in_dim(fn, pad - l, H, axis=1)
+
+    prv = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+    diff_p = jnp.abs(r - prv)
+    diff_n = jnp.abs(nxt - r)
+    parallel = (
+        grid.mask
+        & (diff_p > cfg.parallel_beam_ratio * r)
+        & (diff_n > cfg.parallel_beam_ratio * r)
+    )
+    return sup | parallel
+
+
+def select_features(
+    grid: RangeImage,
+    curv: jnp.ndarray,
+    cfg: ScanConfig,
+    pre_suppressed: jnp.ndarray | None = None,
+):
     """Greedy per-sector classification (src/scanRegistration.cpp:246-368).
+
+    ``pre_suppressed`` (R, H) marks points excluded before any pick (the
+    occlusion filter); they behave like already-picked neighbors.
 
     Returns (label, order_key) over the grid:
       label: 2 sharp, 1 less-sharp, -1 flat, 0 untouched (int8)
@@ -194,6 +245,8 @@ def select_features(grid: RangeImage, curv: jnp.ndarray, cfg: ScanConfig):
     ring_active = seg_len >= cfg.n_sectors  # ref:248 (strictly <6 skipped)
 
     picked = ~grid.mask  # invalid cells can never be picked
+    if pre_suppressed is not None:
+        picked = picked | pre_suppressed
     label = jnp.zeros((R, H), jnp.int8)
     okey = jnp.full((R, H), jnp.int32(2**31 - 1))
 
@@ -305,7 +358,8 @@ def extract_features(
 
     grid = build_range_image(xyz, rel, ring, ring_ok, cfg)
     curv = compute_curvature(grid.xyz)
-    label, okey = select_features(grid, curv, cfg)
+    occluded = occlusion_mask(grid, cfg) if cfg.occlusion_filter else None
+    label, okey = select_features(grid, curv, cfg, pre_suppressed=occluded)
 
     sharp = _compact_selected(grid, label == 2, okey, cfg.max_sharp)
     less_sharp = _compact_selected(grid, label >= 1, okey, cfg.max_less_sharp)
@@ -322,6 +376,8 @@ def extract_features(
         & (col_ids <= (grid.counts - 7)[:, None])
     )
     lf_sel = band & (label <= 0) & grid.mask
+    if occluded is not None:
+        lf_sel = lf_sel & ~occluded
     ring_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, H))
     lf_xyz, lf_rel, lf_mask, _ = voxel_downsample(
         grid.xyz.reshape(-1, 3),
