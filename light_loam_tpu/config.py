@@ -124,6 +124,16 @@ class OdometryConfig:
     huber_delta: float = 0.1
     # Frames before the plane vote gate activates (laserOdometry.cpp:781,794).
     vote_start_frame: int = 5
+    # Vote variants.  The live reference votes planes with the "simple"
+    # kernel only (laserOdometry.cpp:796); the corner vote and the full
+    # graph pipeline exist but are commented out (laserOdometry.cpp:622-643,
+    # laserMapping.cpp:321-834).  Both are first-class here:
+    #   plane_vote_mode: "simple" | "full" | "off"
+    #   corner_vote_mode: "off" (reference) | "simple" | "full"
+    # When a corner vote is active, selected corners contribute weighted
+    # scalar edge factors (LidarEdgeFactor_modify) like the latent path.
+    plane_vote_mode: str = "simple"
+    corner_vote_mode: str = "off"
     # Graph-vote "simple" parameters (laserOdometry.cpp:179-188,260-285).
     corner_vote_regions: int = 5
     plane_vote_regions: int = 10

@@ -10,10 +10,17 @@ R = [[0,0,1],[-1,0,0],[0,-1,0]] (kittiHelper.cpp:75-77).
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
+
+try:  # native C loader (see native/loam_native.c); pure-NumPy fallback
+    from light_loam_tpu import _native
+except ImportError:  # pragma: no cover - extension not built
+    _native = None
 
 # camera frame -> lidar frame rotation (kittiHelper.cpp:76)
 R_CAM_TO_LIDAR = np.array(
@@ -26,6 +33,26 @@ def read_lidar_bin(path: str) -> np.ndarray:
     (kittiHelper.cpp:22-32,137-148).  Returns (N, 4) float32."""
     data = np.fromfile(path, dtype=np.float32)
     return data.reshape(-1, 4)
+
+
+def read_lidar_bin_padded(path: str, capacity: int):
+    """Read a .bin straight into a fixed-capacity padded layout.
+
+    Returns (xyz (capacity, 3) f32, intensity (capacity,) f32,
+    mask (capacity,) bool).  Uses the native C loader when built (single
+    pass, GIL released during I/O); falls back to NumPy."""
+    if _native is not None:
+        xyz, inten, n_valid, _n_total = _native.read_bin_padded(path, capacity)
+    else:
+        pts = read_lidar_bin(path)
+        n_valid = min(len(pts), capacity)
+        xyz = np.zeros((capacity, 3), np.float32)
+        inten = np.zeros((capacity,), np.float32)
+        xyz[:n_valid] = pts[:n_valid, :3]
+        inten[:n_valid] = pts[:n_valid, 3]
+    mask = np.zeros((capacity,), bool)
+    mask[:n_valid] = True
+    return xyz, inten, mask
 
 
 def read_times(path: str) -> np.ndarray:
@@ -76,6 +103,36 @@ class KittiSequence:
         for i in range(len(self)):
             yield self.times[i], read_lidar_bin(self.frame_path(i))
 
+    def padded_frames(
+        self, capacity: int, prefetch: int = 2
+    ) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
+        """Stream (timestamp, xyz (cap,3), mask) with a background reader
+        thread — disk I/O overlaps device compute (the async host data
+        path the reference delegates to a separate ROS process)."""
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for i in range(len(self)):
+                if stop.is_set():
+                    return
+                xyz, _inten, mask = read_lidar_bin_padded(
+                    self.frame_path(i), capacity
+                )
+                q.put((self.times[i], xyz, mask))
+            q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
 
 class KittiPoseWriter:
     """Append first-pose-relative 3×4 poses in KITTI format
@@ -107,3 +164,48 @@ def ate_rmse(traj: np.ndarray, gt: np.ndarray) -> float:
     n = min(len(traj), len(gt))
     errs = traj[:n, :, 3] - gt[:n, :, 3]
     return float(np.sqrt(np.mean(np.sum(errs**2, axis=1))))
+
+
+def main():
+    """Dataset replay / inspection CLI — the kittiHelper role
+    (kittiHelper.cpp:34-178) without ROS: stream a sequence at
+    10/publish_delay Hz, report frame stats, optionally re-axe and dump
+    the ground truth to a lidar-frame trajectory file."""
+    import argparse
+    import time as _time
+
+    ap = argparse.ArgumentParser(description="KITTI sequence replay")
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--sequence", default="04")
+    ap.add_argument("--publish-delay", type=int, default=1,
+                    help="rate divisor like the reference's publish_delay")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--gt-out", default=None,
+                    help="write lidar-frame GT trajectory (KITTI 3x4 rows)")
+    ap.add_argument("--no-sleep", action="store_true",
+                    help="replay as fast as possible")
+    args = ap.parse_args()
+
+    seq = KittiSequence(args.dataset, args.sequence)
+    period = args.publish_delay / 10.0
+    if args.gt_out and seq.gt is not None:
+        R, t = gt_to_lidar_frame(seq.gt)
+        with open(args.gt_out, "w") as f:
+            for i in range(len(R)):
+                row = np.concatenate([R[i], t[i][:, None]], axis=1).reshape(-1)
+                f.write(" ".join(f"{v:.6e}" for v in row) + "\n")
+        print(f"lidar-frame GT written to {args.gt_out}")
+
+    n = 0
+    for ts, pts in seq:
+        print(f"frame {n}: t={ts:.3f}s  {len(pts)} points")
+        n += 1
+        if args.frames is not None and n >= args.frames:
+            break
+        if not args.no_sleep:
+            _time.sleep(period)
+    print(f"replayed {n} frames")
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,37 @@ class MappingOutput(NamedTuple):
     map_surf_points: jnp.ndarray
 
 
+def rslidar_quat_remap(q: jnp.ndarray) -> jnp.ndarray:
+    """The high-frequency publish path's dataset-frame quirk
+    (laserMapping.cpp:189-242): decompose to roll/pitch/yaw, add +π/2 to
+    roll and yaw, recompose, then shuffle coefficients as
+    (x,y,z,w) ← (q_after.y, −q_after.x, q_after.w, −q_after.z).
+
+    This is an rslidar frame convention hack the reference applies only on
+    /aft_mapped_to_init_high_frec (the main-path pose write at
+    laserMapping.cpp:2266-2269 publishes the plain quaternion); provided
+    for behavioural parity of that topic."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    roll = jnp.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    sinp = 2 * (w * y - z * x)
+    pitch = jnp.where(
+        jnp.abs(sinp) >= 1, jnp.sign(sinp) * (jnp.pi / 2), jnp.arcsin(
+            jnp.clip(sinp, -1.0, 1.0)
+        )
+    )
+    yaw = jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    roll = roll + jnp.pi / 2
+    yaw = yaw + jnp.pi / 2
+    cy, sy = jnp.cos(yaw * 0.5), jnp.sin(yaw * 0.5)
+    cp, sp = jnp.cos(pitch * 0.5), jnp.sin(pitch * 0.5)
+    cr, sr = jnp.cos(roll * 0.5), jnp.sin(roll * 0.5)
+    qa_w = cy * cp * cr + sy * sp * sr
+    qa_x = cy * cp * sr - sy * sp * cr
+    qa_y = sy * cp * sr + cy * sp * cr
+    qa_z = sy * cp * cr - cy * sp * sr
+    return jnp.stack([qa_y, -qa_x, qa_w, -qa_z], axis=-1)
+
+
 def _cube_of(xyz: jnp.ndarray, cen: jnp.ndarray, cfg: MappingConfig):
     """World position -> (i, j, k) cube coordinate (laserMapping.cpp:1584-1593:
     int((x+25)/50)+cen with a −1 correction for negatives == floor)."""
@@ -250,6 +281,40 @@ def _merge_into_store(store: MapStore, new_xyz, new_mask, cen, cfg,
         leaf, capacity, extra_key=all_cell,
     )
     return MapStore(xyz=xyz, cell=cell, mask=mask)
+
+
+def surround_cloud(state: MappingState, t_w: jnp.ndarray, cfg: MappingConfig,
+                   capacity: int = 131072):
+    """Points of the 5×5×3 cells around the pose — the /laser_cloud_surround
+    output the reference publishes every 5 frames (laserMapping.cpp:2173-2188).
+    Returns (xyz (capacity,3), mask)."""
+    center = _cube_of(t_w[None, :], state.cen, cfg)[0]
+
+    def gather(store):
+        return _gather_local(store, center, cfg, capacity)
+
+    cx, cm = gather(state.corner)
+    sx, sm = gather(state.surf)
+    xyz = jnp.concatenate([cx, sx], axis=0)
+    mask = jnp.concatenate([cm, sm], axis=0)
+    idx = jnp.argsort(jnp.where(mask, 0, 1), stable=True)[:capacity]
+    return xyz[idx], mask[idx]
+
+
+def full_map_cloud(state: MappingState):
+    """All cells' points — the /laser_cloud_map output published every 20
+    frames (laserMapping.cpp:2190-2203).  Returns (xyz, mask) pairs for
+    (corner, surf)."""
+    return (
+        (state.corner.xyz, state.corner.mask),
+        (state.surf.xyz, state.surf.mask),
+    )
+
+
+def register_cloud(q_w: jnp.ndarray, t_w: jnp.ndarray, xyz: jnp.ndarray):
+    """Transform a frame's cloud into the map frame — the
+    /velodyne_cloud_registered output (laserMapping.cpp:2205-2215)."""
+    return quat.quat_rotate(q_w[None, :], xyz) + t_w[None, :]
 
 
 @partial(jax.jit, static_argnames=("cfg",))

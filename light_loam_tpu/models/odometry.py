@@ -34,10 +34,37 @@ from light_loam_tpu.core.frame import PointCloud, ScanFeatures
 from light_loam_tpu.ops import graphvote, knn
 from light_loam_tpu.solver import (
     EdgeFactors,
+    EdgeScalarFactors,
     FactorSet,
     lm_solve,
     make_plane_factors,
 )
+
+
+def _run_vote(mode: str, src, tgt, valid, n_regions, chunk_cap, cfg):
+    """Dispatch to the configured vote kernel; returns (selected, weight)."""
+    if mode == "off":
+        return valid, jnp.ones_like(src[:, 0])
+    if mode == "simple":
+        v = graphvote.simple_vote(
+            src, tgt, valid,
+            n_regions=n_regions, chunk_capacity=chunk_cap,
+            score_threshold=cfg.vote_score_threshold,
+            resolution=cfg.vote_resolution,
+            selected_ratio=cfg.vote_selected_ratio,
+            low_vote_count=cfg.vote_low_vote_count,
+            low_vote_weight=cfg.vote_low_vote_weight,
+            high_vote_weight=cfg.vote_high_vote_weight,
+        )
+        return v.selected, v.weight
+    if mode == "full":
+        v = graphvote.full_graph_vote(
+            src, tgt, valid,
+            n_regions=n_regions, chunk_capacity=chunk_cap,
+            resolution=cfg.vote_resolution,
+        )
+        return v.selected, v.score
+    raise ValueError(f"unknown vote mode: {mode}")
 
 
 class OdometryState(NamedTuple):
@@ -81,6 +108,21 @@ def _transform_to_start(q, t, pc: PointCloud, distortion: bool, scan_period: flo
     return quat.quat_rotate(qs, pc.xyz) + s[:, None] * t[None, :], s
 
 
+def transform_to_end(q, t, pc: PointCloud, distortion: bool = False,
+                     scan_period: float = 0.1) -> PointCloud:
+    """TransformToEnd (laserOdometry.cpp:99-114): undistort to sweep start,
+    then re-express in the end-of-sweep (current) frame and strip the time
+    fraction from the rel channel.  Dormant in the reference live path
+    (the `if (0)` block at laserOdometry.cpp:861-880) — provided for
+    capability parity."""
+    start_xyz, _s = _transform_to_start(q, t, pc, distortion, scan_period)
+    qi = quat.quat_inverse(q)
+    end_xyz = quat.quat_rotate(
+        jnp.broadcast_to(qi, pc.xyz.shape[:1] + (4,)), start_xyz - t[None, :]
+    )
+    return PointCloud(xyz=end_xyz, rel=jnp.floor(pc.rel), mask=pc.mask)
+
+
 @partial(jax.jit, static_argnames=("cfg", "scan_period"))
 def odometry_step(
     state: OdometryState,
@@ -114,33 +156,55 @@ def odometry_step(
             cfg.distance_sq_threshold, cfg.nearby_scan,
         )
 
-        edge = EdgeFactors(
-            cp=sharp.xyz,
-            a=state.corner_last.xyz[cm.a_idx],
-            b=state.corner_last.xyz[cm.b_idx],
-            s=s_sharp,
-            weight=jnp.ones_like(s_sharp),
-            mask=cm.valid,
-        )
+        use_vote = state.frame > cfg.vote_start_frame
+
+        edge_scalar = None
+        if cfg.corner_vote_mode == "off":
+            # live path: plain 3-dim edge factors for every valid match,
+            # never vote-gated (laserOdometry.cpp:615-617)
+            edge = EdgeFactors(
+                cp=sharp.xyz,
+                a=state.corner_last.xyz[cm.a_idx],
+                b=state.corner_last.xyz[cm.b_idx],
+                s=s_sharp,
+                weight=jnp.ones_like(s_sharp),
+                mask=cm.valid,
+            )
+        else:
+            # latent path (laserOdometry.cpp:628-643): vote-selected
+            # corners as weighted scalar edge factors once active
+            c_chunk_cap = sharp.capacity // cfg.corner_vote_regions + cfg.corner_vote_regions
+            c_sel, c_w = _run_vote(
+                cfg.corner_vote_mode, sharp.xyz,
+                state.corner_last.xyz[cm.a_idx], cm.valid,
+                cfg.corner_vote_regions, c_chunk_cap, cfg,
+            )
+            edge = EdgeFactors(
+                cp=sharp.xyz,
+                a=state.corner_last.xyz[cm.a_idx],
+                b=state.corner_last.xyz[cm.b_idx],
+                s=s_sharp,
+                weight=jnp.ones_like(s_sharp),
+                mask=cm.valid & ~use_vote,
+            )
+            edge_scalar = EdgeScalarFactors(
+                cp=sharp.xyz,
+                a=state.corner_last.xyz[cm.a_idx],
+                b=state.corner_last.xyz[cm.b_idx],
+                s=s_sharp,
+                weight=c_w,
+                mask=cm.valid & c_sel & use_vote,
+            )
 
         # graph vote on plane correspondences: src is the RAW current point,
         # tgt the matched 1-NN (laserOdometry.cpp:751-757)
-        vote = graphvote.simple_vote(
-            flat.xyz,
-            state.surf_last.xyz[sm.a_idx],
-            sm.valid,
-            n_regions=cfg.plane_vote_regions,
-            chunk_capacity=chunk_cap,
-            score_threshold=cfg.vote_score_threshold,
-            resolution=cfg.vote_resolution,
-            selected_ratio=cfg.vote_selected_ratio,
-            low_vote_count=cfg.vote_low_vote_count,
-            low_vote_weight=cfg.vote_low_vote_weight,
-            high_vote_weight=cfg.vote_high_vote_weight,
+        p_sel_mask, p_weight = _run_vote(
+            cfg.plane_vote_mode, flat.xyz,
+            state.surf_last.xyz[sm.a_idx], sm.valid,
+            cfg.plane_vote_regions, chunk_cap, cfg,
         )
-        use_vote = state.frame > cfg.vote_start_frame
-        plane_weight = jnp.where(use_vote, vote.weight, 1.0)
-        plane_mask = sm.valid & jnp.where(use_vote, vote.selected, True)
+        plane_weight = jnp.where(use_vote, p_weight, 1.0)
+        plane_mask = sm.valid & jnp.where(use_vote, p_sel_mask, True)
 
         plane = make_plane_factors(
             cp=flat.xyz,
@@ -153,7 +217,7 @@ def odometry_step(
         )
 
         q, t, _cost = lm_solve(
-            q, t, FactorSet(edge=edge, plane=plane),
+            q, t, FactorSet(edge=edge, plane=plane, edge_scalar=edge_scalar),
             n_iterations=cfg.inner_iterations,
             huber_delta=cfg.huber_delta,
         )

@@ -132,6 +132,32 @@ class Pipeline:
         self.timers.frame_done()
         return result
 
+    # -- checkpoint / resume (SURVEY §5: snapshot map + pose state) ------
+    def save(self, path: str) -> None:
+        from light_loam_tpu.utils.checkpoint import save_state
+
+        self._retire_mapping(wait=True)
+        save_state(path, self.odo_state, self.map_state, frame=self.frame)
+
+    def load(self, path: str) -> None:
+        from light_loam_tpu.utils.checkpoint import load_state
+
+        self.odo_state, self.map_state, self.frame, _ = load_state(
+            path, self.odo_state, self.map_state
+        )
+
+    # -- map exports (the /laser_cloud_surround, /laser_cloud_map rviz
+    #    surface, laserMapping.cpp:2171-2203) ---------------------------
+    def export_map(self, path_prefix: str) -> dict:
+        from light_loam_tpu.models.mapping import full_map_cloud
+        from light_loam_tpu.utils.export import write_ply
+
+        self._retire_mapping(wait=True)
+        (cx, cm), (sx, sm) = full_map_cloud(self.map_state)
+        n_c = write_ply(f"{path_prefix}_corner.ply", np.asarray(cx), np.asarray(cm))
+        n_s = write_ply(f"{path_prefix}_surf.ply", np.asarray(sx), np.asarray(sm))
+        return {"corner": n_c, "surf": n_s}
+
     # -- current best pose (the high-frequency publish path,
     #    laserMapping.cpp:168-247, without the rslidar Euler remap) ------
     def high_freq_pose(self, odo_q: np.ndarray, odo_t: np.ndarray):
@@ -194,10 +220,9 @@ def run_kitti(
     writer = KittiPoseWriter(result_path)
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
     count = 0
-    for ts, pts4 in seq:
+    for ts, xyz, mask in seq.padded_frames(cfg.scan.max_points):
         if count >= n:
             break
-        xyz, mask = pad_cloud(pts4[:, :3], cfg.scan.max_points)
         res = pipe.process_frame(xyz, mask)
         q, t = pipe.high_freq_pose(res.odom_q, res.odom_t)
         R = np.asarray(quat.quat_to_matrix(jnp.asarray(q)))

@@ -24,11 +24,29 @@ from light_loam_tpu.solver import residuals as res
 
 
 class FactorSet(NamedTuple):
-    """All factor families for one solve; any entry may be None."""
+    """All factor families for one solve; any entry may be None.
+
+    edge/plane/plane_norm are the live-path families; edge_scalar,
+    plane_component and distance are the reference's latent factor types
+    (see solver.residuals)."""
 
     edge: Optional[res.EdgeFactors] = None
     plane: Optional[res.PlaneFactors] = None
     plane_norm: Optional[res.PlaneNormFactors] = None
+    edge_scalar: Optional[res.EdgeScalarFactors] = None
+    plane_component: Optional[res.PlaneComponentFactors] = None
+    distance: Optional[res.DistanceFactors] = None
+
+
+# (field name, residual fn) registry driving the accumulation loops
+_FAMILIES = (
+    ("edge", res.edge_residuals),
+    ("plane", res.plane_residuals),
+    ("plane_norm", res.plane_norm_residuals),
+    ("edge_scalar", res.edge_scalar_residuals),
+    ("plane_component", res.plane_component_residuals),
+    ("distance", res.distance_residuals),
+)
 
 
 def _huber_rho(s2: jnp.ndarray, delta: float):
@@ -61,35 +79,23 @@ def _residuals_all(q, t, factors: FactorSet, delta):
     H = jnp.zeros((6, 6), jnp.float32)
     g = jnp.zeros((6,), jnp.float32)
     cost = jnp.float32(0.0)
-    if factors.edge is not None:
-        r, J = res.edge_residuals(q, t, factors.edge)
-        h, gg, c = _accumulate(r, J, factors.edge.mask, delta)
-        H, g, cost = H + h, g + gg, cost + c
-    if factors.plane is not None:
-        r, J = res.plane_residuals(q, t, factors.plane)
-        h, gg, c = _accumulate(r, J, factors.plane.mask, delta)
-        H, g, cost = H + h, g + gg, cost + c
-    if factors.plane_norm is not None:
-        r, J = res.plane_norm_residuals(q, t, factors.plane_norm)
-        h, gg, c = _accumulate(r, J, factors.plane_norm.mask, delta)
-        H, g, cost = H + h, g + gg, cost + c
+    for name, res_fn in _FAMILIES:
+        fac = getattr(factors, name)
+        if fac is not None:
+            r, J = res_fn(q, t, fac)
+            h, gg, c = _accumulate(r, J, fac.mask, delta)
+            H, g, cost = H + h, g + gg, cost + c
     return H, g, cost
 
 
 def _cost_only(q, t, factors: FactorSet, delta):
     cost = jnp.float32(0.0)
-    if factors.edge is not None:
-        r, _ = res.edge_residuals(q, t, factors.edge)
-        rho, _d = _huber_rho(jnp.sum(r * r, axis=-1), delta)
-        cost = cost + 0.5 * jnp.sum(rho * factors.edge.mask)
-    if factors.plane is not None:
-        r, _ = res.plane_residuals(q, t, factors.plane)
-        rho, _d = _huber_rho(jnp.sum(r * r, axis=-1), delta)
-        cost = cost + 0.5 * jnp.sum(rho * factors.plane.mask)
-    if factors.plane_norm is not None:
-        r, _ = res.plane_norm_residuals(q, t, factors.plane_norm)
-        rho, _d = _huber_rho(jnp.sum(r * r, axis=-1), delta)
-        cost = cost + 0.5 * jnp.sum(rho * factors.plane_norm.mask)
+    for name, res_fn in _FAMILIES:
+        fac = getattr(factors, name)
+        if fac is not None:
+            r, _ = res_fn(q, t, fac)
+            rho, _d = _huber_rho(jnp.sum(r * r, axis=-1), delta)
+            cost = cost + 0.5 * jnp.sum(rho * fac.mask)
     return cost
 
 

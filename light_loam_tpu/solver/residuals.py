@@ -68,6 +68,45 @@ class PlaneNormFactors(NamedTuple):
     mask: jnp.ndarray  # (N,)
 
 
+class EdgeScalarFactors(NamedTuple):
+    """Weighted scalar point-to-line distance (LidarEdgeFactor_modify,
+    lidarFactor.hpp:54-100): residual = ‖(p'−a)×(p'−b)‖/‖a−b‖ · w.
+    Latent in the reference (commented call at laserOdometry.cpp:638);
+    used by the full-graph-vote corner mode."""
+
+    cp: jnp.ndarray
+    a: jnp.ndarray
+    b: jnp.ndarray
+    s: jnp.ndarray
+    weight: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class PlaneComponentFactors(NamedTuple):
+    """Componentwise weighted plane residual (LidarPlaneFactor_modify_test,
+    lidarFactor.hpp:151-201): r_i = (p'−j)_i · n̂_i · w, with the z
+    component additionally scaled ×1.1.  Experimental/latent in the
+    reference — provided for capability parity."""
+
+    cp: jnp.ndarray
+    j: jnp.ndarray
+    n: jnp.ndarray
+    s: jnp.ndarray
+    weight: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class DistanceFactors(NamedTuple):
+    """Point-to-point residual (LidarDistanceFactor, lidarFactor.hpp:288-319):
+    r = p_w − target.  Dead code in the reference (only commented blocks,
+    laserMapping.cpp:1923-1939) — provided for capability parity."""
+
+    cp: jnp.ndarray
+    target: jnp.ndarray
+    weight: jnp.ndarray
+    mask: jnp.ndarray
+
+
 def make_plane_factors(cp, a, b, c, s, weight, mask) -> PlaneFactors:
     """Build PlaneFactors from a point triangle, normalizing
     (j-l)×(j-m) once like the reference constructor."""
@@ -137,6 +176,53 @@ def plane_residuals(pose_q, pose_t, f: PlaneFactors):
     J = jnp.einsum("nj,njk->nk", f.n, Jp)[:, None, :]
     w = (f.weight * f.mask).astype(p.dtype)
     return r * w[:, None], J * w[:, None, None]
+
+
+def edge_scalar_residuals(pose_q, pose_t, f: EdgeScalarFactors):
+    """(r, J): r (N,1), J (N,1,6) — the scalar-norm edge variant."""
+    p, Jp = _transform_with_jac(pose_q, pose_t, f.cp, f.s)
+    u = p - f.a
+    v = p - f.b
+    de = f.a - f.b
+    inv_norm = 1.0 / jnp.maximum(jnp.linalg.norm(de, axis=-1, keepdims=True), 1e-12)
+    nu = jnp.cross(u, v)
+    nu_norm = jnp.sqrt(jnp.maximum(jnp.sum(nu * nu, axis=-1, keepdims=True), 1e-20))
+    r = nu_norm * inv_norm
+    # d‖nu‖/dp' = (nu/‖nu‖)ᵀ [b−a]×
+    ba = f.b - f.a
+    zero = jnp.zeros_like(ba[:, 0])
+    bax = jnp.stack(
+        [
+            jnp.stack([zero, -ba[:, 2], ba[:, 1]], axis=-1),
+            jnp.stack([ba[:, 2], zero, -ba[:, 0]], axis=-1),
+            jnp.stack([-ba[:, 1], ba[:, 0], zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    dn_dp = jnp.einsum("nj,njk->nk", nu / nu_norm, bax) * inv_norm
+    J = jnp.einsum("nj,njd->nd", dn_dp, Jp)[:, None, :]
+    w = (f.weight * f.mask).astype(p.dtype)
+    return r * w[:, None], J * w[:, None, None]
+
+
+def plane_component_residuals(pose_q, pose_t, f: PlaneComponentFactors):
+    """(r, J): r (N,3), J (N,3,6) — componentwise plane residual with the
+    reference's z ×1.1 emphasis (lidarFactor.hpp:182-184)."""
+    p, Jp = _transform_with_jac(pose_q, pose_t, f.cp, f.s)
+    scale = jnp.asarray([1.0, 1.0, 1.1], dtype=p.dtype)
+    r = (p - f.j) * f.n * scale[None, :]
+    J = f.n[:, :, None] * scale[None, :, None] * Jp
+    w = (f.weight * f.mask).astype(p.dtype)
+    return r * w[:, None], J * w[:, None, None]
+
+
+def distance_residuals(pose_q, pose_t, f: DistanceFactors):
+    """(r, J): r (N,3), J (N,3,6) — point-to-point."""
+    s = jnp.ones(f.cp.shape[0], dtype=f.cp.dtype)
+    p, Jp = _transform_with_jac(pose_q, pose_t, f.cp, s)
+    r = p - f.target
+    w = (f.weight * f.mask).astype(p.dtype)
+    return r * w[:, None], Jp * w[:, None, None]
 
 
 def plane_norm_residuals(pose_q, pose_t, f: PlaneNormFactors):
