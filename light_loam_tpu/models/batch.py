@@ -1,0 +1,73 @@
+"""Batched multi-sequence SLAM — TPU-native throughput scaling.
+
+The reference is a single-stream real-time system; batch evaluation over
+KITTI sequences 00-10 means running it eleven times.  On TPU the whole
+frame step (features → odometry → mapping) is a pure function of
+fixed-shape state, so B independent sequences vmap into one program whose
+kernels process B frames at once — amortizing kernel-launch latency and
+filling the MXU that a single 100k-point frame leaves mostly idle.
+
+Semantics are EXACTLY the single-stream pipeline per lane (vmap of the
+same jitted functions); lanes never interact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from light_loam_tpu.config import PipelineConfig
+from light_loam_tpu.models.mapping import MappingOutput, MappingState, mapping_step
+from light_loam_tpu.models.odometry import (
+    OdometryOutput,
+    OdometryState,
+    odometry_step,
+)
+from light_loam_tpu.ops.features import extract_features
+
+
+class BatchState(NamedTuple):
+    odometry: OdometryState  # leaves have leading batch dim
+    mapping: MappingState
+
+
+def init_batch_state(cfg: PipelineConfig, batch: int) -> BatchState:
+    odo = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
+    mp = MappingState.init(cfg.mapping)
+    stack = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), tree
+    )
+    return BatchState(odometry=stack(odo), mapping=stack(mp))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_frame_step(
+    state: BatchState,
+    xyz: jnp.ndarray,   # (B, max_points, 3)
+    mask: jnp.ndarray,  # (B, max_points)
+    cfg: PipelineConfig,
+) -> Tuple[BatchState, OdometryOutput, MappingOutput]:
+    """One SLAM frame for B independent sequences."""
+
+    def one(odo_state, map_state, xyz, mask):
+        feats = extract_features(xyz, mask, cfg.scan)
+        odo_state, odo = odometry_step(
+            odo_state, feats, cfg.odometry, cfg.scan.scan_period
+        )
+        map_state, mout = mapping_step(
+            map_state,
+            odo_state.corner_last,
+            odo_state.surf_last,
+            odo.q_w,
+            odo.t_w,
+            cfg.mapping,
+        )
+        return odo_state, map_state, odo, mout
+
+    odo_state, map_state, odo, mout = jax.vmap(one)(
+        state.odometry, state.mapping, xyz, mask
+    )
+    return BatchState(odometry=odo_state, mapping=map_state), odo, mout

@@ -109,12 +109,16 @@ def simple_vote(
     low_vote_count: float = 50.0,
     low_vote_weight: float = 5.0,
     high_vote_weight: float = 1.0,
+    backend: str = "auto",
 ) -> VoteResult:
     """Live-path vote (laserOdometry.cpp:165-342).
 
     src: (Q, 3) current-frame correspondence points; tgt: (Q, 3) their
     matched previous-frame anchors; valid: (Q,) active slots.
     ``chunk_capacity`` must cover Q // n_regions + n_regions.
+
+    ``backend``: "auto" uses the fused Pallas kernel on TPU and the XLA
+    path elsewhere; "xla"/"pallas" force one.
     """
     Q = src.shape[0]
     K = chunk_capacity
@@ -127,11 +131,20 @@ def simple_vote(
         in_chunk.astype(jnp.float32), in_chunk, chunk_id, offset, n_regions, K
     )
 
-    scores = _compat_scores(csrc, ctgt, resolution)
-    eye = jnp.eye(K, dtype=bool)[None]
-    pair_ok = (cval[:, :, None] * cval[:, None, :]) > 0
-    incompat = (scores < score_threshold) & pair_ok & ~eye
-    votes_chunk = jnp.sum(incompat.astype(jnp.float32), axis=-1)  # (R, K)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from light_loam_tpu.ops.pallas_vote import compat_votes_pallas
+
+        votes_chunk = compat_votes_pallas(
+            csrc, ctgt, cval, threshold=score_threshold, resolution=resolution
+        )
+    else:
+        scores = _compat_scores(csrc, ctgt, resolution)
+        eye = jnp.eye(K, dtype=bool)[None]
+        pair_ok = (cval[:, :, None] * cval[:, None, :]) > 0
+        incompat = (scores < score_threshold) & pair_ok & ~eye
+        votes_chunk = jnp.sum(incompat.astype(jnp.float32), axis=-1)  # (R, K)
 
     sizes = _chunk_sizes(n_valid, base, n_regions).astype(jnp.float32)  # (R,)
     num_selected = selected_ratio * sizes

@@ -1,0 +1,102 @@
+"""Pallas TPU kernel for the graph-vote compatibility stage.
+
+The vote's hot core (laserOdometry.cpp:228-252) is, per chunk: a (K, K)
+pairwise compatibility matrix over src and tgt point sets, thresholded and
+row-summed into incompatibility votes.  The XLA path (ops/graphvote.py)
+materializes the (R, K, K) score tensors in HBM; this kernel fuses
+distance → gap → exp → threshold → row-sum entirely in VMEM, one chunk per
+grid step, with the pairwise cross terms on the MXU:
+
+    HBM traffic:  XLA ≈ R·K·K·(2 dists + scores) floats
+                  Pallas = R·(2·3·K in + K out) floats
+
+Points are passed channel-major (R, 3, K) so the K axis rides the 128-wide
+lanes.  Votes are exact f32 counts, bit-compatible with the XLA path's
+semantics (pair valid-mask, no self-votes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _vote_kernel(src_ref, tgt_ref, valid_ref, votes_ref, *, threshold,
+                 inv_res_sq):
+    # refs: (1, 3, K), (1, 3, K), (1, K) -> (1, K)
+    K = src_ref.shape[-1]
+
+    def dists(x):  # x: (3, K) -> (K, K) Euclidean distances
+        n2 = jnp.sum(x * x, axis=0, keepdims=True)  # (1, K)
+        cross = jax.lax.dot_general(
+            x, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, K)
+        d2 = n2 + n2.T - 2.0 * cross
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    ds = dists(src_ref[0])
+    dt = dists(tgt_ref[0])
+    gap = ds - dt
+    score = jnp.exp(-(gap * gap) * inv_res_sq)
+
+    v = valid_ref[0]  # (K,)
+    pair_ok = v[:, None] * v[None, :]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    not_self = row_ids != col_ids
+    incompat = (score < threshold) & (pair_ok > 0) & not_self
+    votes_ref[0, :] = jnp.sum(incompat.astype(jnp.float32), axis=1)
+
+
+@partial(jax.jit, static_argnames=("threshold", "resolution", "interpret"))
+def compat_votes_pallas(
+    src: jnp.ndarray,     # (R, K, 3) chunked source points
+    tgt: jnp.ndarray,     # (R, K, 3) chunked target points
+    valid: jnp.ndarray,   # (R, K) validity (float or bool)
+    threshold: float = 0.96,
+    resolution: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Incompatibility votes per chunked correspondence — fused Pallas
+    version of the score/vote stage in ops.graphvote.simple_vote.
+
+    Returns (R, K) float32 vote counts.
+    """
+    R, K, _ = src.shape
+    Kp = _round_up(max(K, 128), 128)
+    pad = Kp - K
+
+    src_t = jnp.moveaxis(jnp.pad(src, ((0, 0), (0, pad), (0, 0))), -1, 1)
+    tgt_t = jnp.moveaxis(jnp.pad(tgt, ((0, 0), (0, pad), (0, 0))), -1, 1)
+    valid_f = jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, pad)))
+
+    kernel = partial(
+        _vote_kernel,
+        threshold=float(threshold),
+        inv_res_sq=float(1.0 / (resolution * resolution)),
+    )
+    votes = pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, 3, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Kp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, Kp), jnp.float32),
+        interpret=interpret,
+    )(src_t, tgt_t, valid_f)
+    return votes[:, :K]

@@ -9,7 +9,9 @@ from light_loam_tpu.ops.features import extract_features
 from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
 
 CFG = ScanConfig(n_scans=64, h_max=1024, max_points=65536)
-OCFG = OdometryConfig()
+# reference solve schedule (3x4) keeps CPU test time down; the deeper
+# default schedule is covered by the e2e/pipeline tests
+OCFG = OdometryConfig(outer_iterations=3, inner_iterations=4)
 
 
 def make_feats(world, pos, yaw=0.0, seed=0):

@@ -1,0 +1,44 @@
+"""Sparse-sensor profiles (VLP-16 / HDL-32) end-to-end — the reference's
+alternate launch configurations (launch/aloam_velodyne_VLP_16.launch,
+launch/aloam_velodyne_HDL_32.launch)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from light_loam_tpu.config import VLP16, HDL32, ScanConfig
+from light_loam_tpu.models.odometry import OdometryState, odometry_step
+from light_loam_tpu.ops.features import extract_features
+from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
+
+
+@pytest.mark.parametrize(
+    "profile,n_rings,lo,hi",
+    [(VLP16, 16, -15.0, 15.0), (HDL32, 32, -30.0, 10.0)],
+)
+def test_sparse_profile_tracks(profile, n_rings, lo, hi):
+    # smaller shapes keep CPU compile cheap; semantics identical
+    scan_cfg = dataclasses.replace(
+        profile.scan, h_max=512, max_points=32768
+    )
+    ocfg = dataclasses.replace(
+        profile.odometry, outer_iterations=3, inner_iterations=4
+    )
+    world = World.urban(seed=6)
+    state = OdometryState.init(scan_cfg.max_less_sharp, scan_cfg.max_less_flat)
+    for i in range(3):
+        pts = simulate_scan(
+            world, np.array([0.5 * i, 0.0, 0.0]), n_rings=n_rings,
+            lower_deg=lo, upper_deg=hi, n_azimuth=500, noise=0.01,
+            seed=40 + i,
+        )
+        xyz, mask = pad_cloud(pts, scan_cfg.max_points)
+        feats = extract_features(jnp.asarray(xyz), jnp.asarray(mask), scan_cfg)
+        state, out = odometry_step(state, feats, ocfg)
+    t = np.asarray(out.t_w)
+    err = np.linalg.norm(t - [1.0, 0, 0])
+    assert err < 0.25, f"{n_rings}-ring drift too high: {t}"
+    assert int(out.corner_count) > 20
+    assert int(out.plane_count) > 80
