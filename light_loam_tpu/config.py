@@ -134,6 +134,10 @@ class OdometryConfig:
     # scalar edge factors (LidarEdgeFactor_modify) like the latent path.
     plane_vote_mode: str = "simple"
     corner_vote_mode: str = "off"
+    # Vote compatibility kernel backend: "auto" = fused Pallas kernel on
+    # TPU, XLA elsewhere.  The batched (vmapped) pipeline forces "xla" —
+    # vmap of pallas_call lowers poorly.
+    vote_backend: str = "auto"
     # Graph-vote "simple" parameters (laserOdometry.cpp:179-188,260-285).
     corner_vote_regions: int = 5
     plane_vote_regions: int = 10

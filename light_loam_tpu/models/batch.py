@@ -52,10 +52,15 @@ def batched_frame_step(
 ) -> Tuple[BatchState, OdometryOutput, MappingOutput]:
     """One SLAM frame for B independent sequences."""
 
+    import dataclasses
+
+    # vmap of pallas_call lowers poorly; the XLA vote path vmaps cleanly
+    odo_cfg = dataclasses.replace(cfg.odometry, vote_backend="xla")
+
     def one(odo_state, map_state, xyz, mask):
         feats = extract_features(xyz, mask, cfg.scan)
         odo_state, odo = odometry_step(
-            odo_state, feats, cfg.odometry, cfg.scan.scan_period
+            odo_state, feats, odo_cfg, cfg.scan.scan_period
         )
         map_state, mout = mapping_step(
             map_state,

@@ -55,6 +55,7 @@ def _run_vote(mode: str, src, tgt, valid, n_regions, chunk_cap, cfg):
             low_vote_count=cfg.vote_low_vote_count,
             low_vote_weight=cfg.vote_low_vote_weight,
             high_vote_weight=cfg.vote_high_vote_weight,
+            backend=cfg.vote_backend,
         )
         return v.selected, v.weight
     if mode == "full":

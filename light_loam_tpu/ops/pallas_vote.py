@@ -48,13 +48,13 @@ def _vote_kernel(src_ref, tgt_ref, valid_ref, votes_ref, *, threshold,
     gap = ds - dt
     score = jnp.exp(-(gap * gap) * inv_res_sq)
 
-    v = valid_ref[0]  # (K,)
+    v = valid_ref[0, 0]  # (K,)
     pair_ok = v[:, None] * v[None, :]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
     not_self = row_ids != col_ids
     incompat = (score < threshold) & (pair_ok > 0) & not_self
-    votes_ref[0, :] = jnp.sum(incompat.astype(jnp.float32), axis=1)
+    votes_ref[0, 0, :] = jnp.sum(incompat.astype(jnp.float32), axis=1)
 
 
 @partial(jax.jit, static_argnames=("threshold", "resolution", "interpret"))
@@ -77,7 +77,9 @@ def compat_votes_pallas(
 
     src_t = jnp.moveaxis(jnp.pad(src, ((0, 0), (0, pad), (0, 0))), -1, 1)
     tgt_t = jnp.moveaxis(jnp.pad(tgt, ((0, 0), (0, pad), (0, 0))), -1, 1)
-    valid_f = jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, pad)))
+    # (R, 1, Kp): TPU block shapes need the trailing two dims to tile the
+    # array exactly, so the per-chunk row gets its own unit dimension
+    valid_f = jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, pad)))[:, None, :]
 
     kernel = partial(
         _vote_kernel,
@@ -92,11 +94,12 @@ def compat_votes_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Kp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Kp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, Kp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, Kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, 1, Kp), jnp.float32),
         interpret=interpret,
     )(src_t, tgt_t, valid_f)
-    return votes[:, :K]
+    return votes[:, 0, :K]
