@@ -90,6 +90,36 @@ def kitti_relative_errors(
     )
 
 
+def main():
+    """CLI: score a trajectory file against ground truth.
+
+    usage: python -m light_loam_tpu.io.evaluation EST.txt GT.txt
+    Both files are KITTI 3×4 row-major pose-per-line (the reference's
+    RESULT_PATH format).
+    """
+    import sys
+
+    if len(sys.argv) != 3:
+        print(__doc__ or "", file=sys.stderr)
+        print("usage: python -m light_loam_tpu.io.evaluation EST.txt GT.txt",
+              file=sys.stderr)
+        raise SystemExit(2)
+    from light_loam_tpu.io.kitti import read_gt_poses
+
+    est = read_gt_poses(sys.argv[1])
+    gt = read_gt_poses(sys.argv[2])
+    ate = ate_rmse(est, gt)
+    rel = kitti_relative_errors(est, gt)
+    print(f"frames: {min(len(est), len(gt))}")
+    print(f"ATE RMSE: {ate:.4f} m")
+    if rel.n_segments:
+        print(f"KITTI t_err: {rel.t_err_percent:.3f} %   "
+              f"r_err: {rel.r_err_deg_per_m:.5f} deg/m   "
+              f"({rel.n_segments} segments)")
+    else:
+        print("KITTI relative errors: trajectory shorter than 100 m")
+
+
 def poses_from_quat_trans(qs: np.ndarray, ts: np.ndarray) -> np.ndarray:
     """(N,4) xyzw quaternions + (N,3) translations -> (N, 3, 4)."""
     from light_loam_tpu.core.quaternion import quat_to_matrix
@@ -100,3 +130,7 @@ def poses_from_quat_trans(qs: np.ndarray, ts: np.ndarray) -> np.ndarray:
     out[:, :, :3] = R
     out[:, :, 3] = ts
     return out
+
+
+if __name__ == "__main__":
+    main()

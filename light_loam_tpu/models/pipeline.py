@@ -61,6 +61,12 @@ class Pipeline:
         self.map_state = MappingState.init(self.cfg.mapping)
         self.frame = 0
         self.dropped_mapping_frames = 0
+        self.diverged_frames = 0
+        self._last_odo_pose = (
+            np.asarray([0.0, 0.0, 0.0, 1.0], np.float32),
+            np.zeros(3, np.float32),
+        )
+        self._keyframes: list = []
         self.timers = StageTimers(budget_ms=self.cfg.frame_budget_ms)
         self._pending_map_out = None
         self._pending_map_state = None
@@ -98,6 +104,24 @@ class Pipeline:
                 self.odo_state, feats, cfg.odometry, cfg.scan.scan_period
             )
 
+        # failure containment: a non-finite odometry pose (degenerate
+        # geometry, empty scan) must not poison downstream state — keep
+        # the previous pose and flag it (the reference's analog is its
+        # runtime warnings + frame dropping, SURVEY §5)
+        if not np.isfinite(np.asarray(odo.t_w)).all():
+            self.diverged_frames += 1
+            self.odo_state = self.odo_state._replace(
+                q_w=jnp.asarray(self._last_odo_pose[0]),
+                t_w=jnp.asarray(self._last_odo_pose[1]),
+                q_lc=jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                t_lc=jnp.zeros(3),
+            )
+            odo = odo._replace(
+                q_w=self.odo_state.q_w, t_w=self.odo_state.t_w
+            )
+        else:
+            self._last_odo_pose = (np.asarray(odo.q_w), np.asarray(odo.t_w))
+
         mapped = False
         if self.frame % cfg.odometry.skip_frame_num == 0:
             self._retire_mapping(wait=not cfg.drop_mapping_backlog)
@@ -128,9 +152,59 @@ class Pipeline:
         if mapped:
             self._retire_mapping(wait=True)
             result.map_q, result.map_t = self._last_map_pose
+            self._buffer_keyframe(result.map_q, result.map_t)
         self.frame += 1
         self.timers.frame_done()
         return result
+
+    # -- windowed refinement (models/refine.py) -------------------------
+    def refine_recent_keyframes(
+        self, n_keyframes: int = 4, stack_points: int = 2048,
+        n_landmarks: int = 512, n_iterations: int = 4,
+    ):
+        """Jointly re-refine the most recent keyframe poses against plane
+        landmarks extracted from the map (the Schur-complement window —
+        a capability beyond the reference's frame-at-a-time back end).
+
+        Returns (q (K,4), t (K,3)) refined poses for the stored window,
+        or None if fewer than 2 keyframes are buffered.  Keyframes are
+        buffered automatically for every mapped frame.
+        """
+        import jax.numpy as jnp
+        from light_loam_tpu.models.refine import (
+            extract_landmarks, refine_window,
+        )
+
+        if len(self._keyframes) < 2:
+            return None
+        self._retire_mapping(wait=True)
+        kfs = self._keyframes[-n_keyframes:]
+        K = len(kfs)
+        qs = jnp.asarray(np.stack([k[0] for k in kfs]))
+        ts = jnp.asarray(np.stack([k[1] for k in kfs]))
+        stacks = jnp.asarray(np.stack([k[2] for k in kfs]))
+        masks = jnp.asarray(np.stack([k[3] for k in kfs]))
+        lm = extract_landmarks(
+            self.map_state.surf.xyz, self.map_state.surf.mask, n_landmarks
+        )
+        q, t, _ = refine_window(
+            qs, ts, stacks, masks, lm, n_iterations=n_iterations
+        )
+        return np.asarray(q), np.asarray(t)
+
+    def _buffer_keyframe(self, q, t, stack_points: int = 2048):
+        from light_loam_tpu.ops.voxel import voxel_downsample
+
+        surf = self.odo_state.surf_last
+        sx, _, sm, _ = voxel_downsample(
+            surf.xyz, surf.rel, surf.mask,
+            self.cfg.mapping.plane_resolution, stack_points,
+        )
+        self._keyframes.append(
+            (np.asarray(q), np.asarray(t), np.asarray(sx), np.asarray(sm))
+        )
+        if len(self._keyframes) > 16:
+            self._keyframes.pop(0)
 
     # -- checkpoint / resume (SURVEY §5: snapshot map + pose state) ------
     def save(self, path: str) -> None:

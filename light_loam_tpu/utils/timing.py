@@ -69,6 +69,19 @@ class StageTimers:
             self._frame_start = None
         self.frames += 1
 
+    @contextmanager
+    def profiler_trace(self, log_dir: str):
+        """Capture a jax.profiler trace around a region — the deep-dive
+        counterpart to the TicToc-style stage timers (viewable in
+        TensorBoard / xprof)."""
+        import jax
+
+        jax.profiler.start_trace(log_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
     def report(self) -> str:
         lines = [
             f"{name}: mean {st.mean_ms:.2f} ms, max {st.max_ms:.2f} ms "
