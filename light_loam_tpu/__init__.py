@@ -25,6 +25,7 @@ from light_loam_tpu.config import (
     MappingConfig,
     PipelineConfig,
     HDL64_KITTI,
+    HDL64_SMALL,
     VLP16,
     HDL32,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "MappingConfig",
     "PipelineConfig",
     "HDL64_KITTI",
+    "HDL64_SMALL",
     "VLP16",
     "HDL32",
     "__version__",

@@ -230,6 +230,12 @@ class PipelineConfig:
     frame_budget_ms: float = 100.0
     # Mapping back-pressure: drop backlog frames like laserMapping.cpp:1571-1575.
     drop_mapping_backlog: bool = True
+    # Block on each dispatched mapping step before returning its pose in
+    # FrameResult (deterministic, reference-equivalent output timing).
+    # False lets mapping run fully async like the reference's process
+    # thread — FrameResult.map_* is then the last *retired* pose (stale by
+    # up to one frame, like /aft_mapped_to_init consumers see).
+    sync_mapping: bool = True
 
 
 # ---- the three launch profiles (reference launch/*.launch) ----
@@ -250,4 +256,24 @@ HDL32 = PipelineConfig(
     scan=ScanConfig(n_scans=32, minimum_range=0.3, h_max=2304, max_points=131072),
     odometry=OdometryConfig(skip_frame_num=1),
     mapping=MappingConfig(line_resolution=0.2, plane_resolution=0.4),
+)
+
+# Reduced-capacity HDL-64 profile for fast CPU tests: identical semantics,
+# smaller static shapes and the reference's 3x4 solve schedule.
+HDL64_SMALL = PipelineConfig(
+    scan=ScanConfig(n_scans=64, minimum_range=5.0, h_max=1024, max_points=65536),
+    odometry=OdometryConfig(
+        skip_frame_num=1, outer_iterations=3, inner_iterations=4
+    ),
+    mapping=MappingConfig(
+        line_resolution=0.4,
+        plane_resolution=0.8,
+        map_corner_capacity=16384,
+        map_surf_capacity=32768,
+        local_corner_capacity=8192,
+        local_surf_capacity=16384,
+        stack_corner_capacity=1024,
+        stack_surf_capacity=4096,
+        knn_tile=2048,
+    ),
 )

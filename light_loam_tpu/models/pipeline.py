@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from light_loam_tpu.config import (
     HDL32,
     HDL64_KITTI,
+    HDL64_SMALL,
     VLP16,
     PipelineConfig,
 )
@@ -38,7 +39,12 @@ from light_loam_tpu.models.odometry import OdometryState, odometry_step
 from light_loam_tpu.ops.features import extract_features
 from light_loam_tpu.utils.timing import StageTimers
 
-PROFILES = {"hdl64": HDL64_KITTI, "vlp16": VLP16, "hdl32": HDL32}
+PROFILES = {
+    "hdl64": HDL64_KITTI,
+    "vlp16": VLP16,
+    "hdl32": HDL32,
+    "hdl64-small": HDL64_SMALL,  # fast-compile profile for tests
+}
 
 
 @dataclass
@@ -150,7 +156,7 @@ class Pipeline:
             mapped=mapped,
         )
         if mapped:
-            self._retire_mapping(wait=True)
+            self._retire_mapping(wait=cfg.sync_mapping)
             result.map_q, result.map_t = self._last_map_pose
             self._buffer_keyframe(result.map_q, result.map_t)
         self.frame += 1

@@ -86,7 +86,7 @@ def test_checkpoint_resume_continuity(tmp_path):
     from light_loam_tpu.models.pipeline import Pipeline, PROFILES
     from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
 
-    cfg = PROFILES["hdl64"]
+    cfg = PROFILES["hdl64-small"]
     world = World.urban(seed=8)
 
     def frame(i):

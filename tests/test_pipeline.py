@@ -7,7 +7,7 @@ from light_loam_tpu.models import pipeline as pl
 @pytest.mark.slow
 def test_pipeline_synthetic_end_to_end():
     pipe, results, truth = pl.run_synthetic(
-        n_frames=6, profile="hdl64", n_azimuth=700, speed=0.6, seed=2
+        n_frames=6, profile="hdl64-small", n_azimuth=700, speed=0.6, seed=2
     )
     assert len(results) == 6
     # odometry should track the straight run

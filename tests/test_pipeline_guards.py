@@ -17,7 +17,7 @@ def frames_for(cfg, world, n, step=0.5):
 
 
 def test_empty_frame_does_not_poison_pose():
-    cfg = PROFILES["hdl64"]
+    cfg = PROFILES["hdl64-small"]
     world = World.urban(seed=12)
     pipe = Pipeline(cfg)
     fs = frames_for(cfg, world, 3)
@@ -38,7 +38,7 @@ def test_empty_frame_does_not_poison_pose():
 
 
 def test_keyframe_refinement_wiring():
-    cfg = PROFILES["hdl64"]
+    cfg = PROFILES["hdl64-small"]
     world = World.urban(seed=13)
     pipe = Pipeline(cfg)
     for f in frames_for(cfg, world, 4):
