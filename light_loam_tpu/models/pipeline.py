@@ -73,6 +73,7 @@ class Pipeline:
             np.zeros(3, np.float32),
         )
         self._keyframes: list = []
+        self.map_saturation_events = 0
         self.timers = StageTimers(budget_ms=self.cfg.frame_budget_ms)
         self._pending_map_out = None
         self._pending_map_state = None
@@ -97,6 +98,12 @@ class Pipeline:
             out = self._pending_map_out
             self.map_state = self._pending_map_state
             self._last_map_pose = (np.asarray(out.q_w), np.asarray(out.t_w))
+            # saturation watch: the voxel-dedup store drops overflow
+            # silently; surface it for operators (capacity should be
+            # raised, or the sequence has outgrown the cube window)
+            if int(out.map_surf_points) >= self.cfg.mapping.map_surf_capacity \
+                    or int(out.map_corner_points) >= self.cfg.mapping.map_corner_capacity:
+                self.map_saturation_events += 1
             self._pending_map_out = None
             self._pending_map_state = None
 

@@ -27,7 +27,7 @@ CFG = MappingConfig(
 )
 
 
-def features_from_scan(pts, rng, n_corner=600, n_surf=3000):
+def features_from_scan(pts, rng, n_corner=900, n_surf=4000):
     """Crude stand-in feature split: poles/edges vs ground/walls is not
     needed — mapping only needs geometrically consistent clouds, so sample
     random subsets as 'corner' and 'surf'."""
@@ -49,7 +49,17 @@ def features_from_scan(pts, rng, n_corner=600, n_surf=3000):
 
 @pytest.fixture(scope="module")
 def map_world():
-    return World.urban(seed=9)
+    from light_loam_tpu.utils.synthetic import Box
+
+    w = World.urban(seed=9)
+    # a few close-in structures so one frame's map constrains all 6 dof
+    w.boxes.append(Box(center=np.array([8.0, 8.0, 1.0]),
+                       half=np.array([2.0, 2.0, 3.0]), yaw=0.3))
+    w.boxes.append(Box(center=np.array([-6.0, -8.0, 0.0]),
+                       half=np.array([1.5, 3.0, 2.5]), yaw=-0.4))
+    w.boxes.append(Box(center=np.array([12.0, -7.0, 2.0]),
+                       half=np.array([3.0, 1.5, 4.0]), yaw=0.1))
+    return w
 
 
 def test_mapping_accumulates_and_refines(map_world):
@@ -57,7 +67,7 @@ def test_mapping_accumulates_and_refines(map_world):
     state = MappingState.init(CFG)
 
     # frame 0 at origin, odometry exact
-    pts0 = simulate_scan(map_world, np.zeros(3), n_azimuth=700, noise=0.005, seed=1)
+    pts0 = simulate_scan(map_world, np.zeros(3), n_azimuth=1100, noise=0.005, seed=1)
     c0, s0 = features_from_scan(pts0, rng)
     state, out0 = mapping_step(state, c0, s0, quat.quat_identity(), jnp.zeros(3), CFG)
     assert int(out0.map_surf_points) > 1000
@@ -66,7 +76,7 @@ def test_mapping_accumulates_and_refines(map_world):
     # frame 1: sensor at x=0.5 but odometry reports a slightly wrong pose;
     # scan-to-map should pull it back toward truth
     true_t = np.array([0.5, 0.0, 0.0], np.float32)
-    pts1 = simulate_scan(map_world, true_t.astype(float), n_azimuth=700,
+    pts1 = simulate_scan(map_world, true_t.astype(float), n_azimuth=1100,
                          noise=0.005, seed=2)
     c1, s1 = features_from_scan(pts1, rng)
     bad_odom_t = jnp.asarray(true_t + np.array([0.15, -0.1, 0.05], np.float32))
