@@ -19,6 +19,19 @@ runtime.  Multi-device scaling uses jax.sharding Meshes (see
 light_loam_tpu.parallel).
 """
 
+import jax as _jax
+
+# Geometry demands real f32 matmuls: TPU XLA otherwise lowers f32 matmuls
+# to bf16×bf16+f32 accumulation, and with world coordinates up to hundreds
+# of metres the rounding error exceeds correspondence gates, plane-fit
+# normal equations, and compatibility length scales (measured: identical
+# programs track on CPU and diverge on TPU at default precision).  The
+# distance-critical kernels also pin precision=HIGHEST explicitly; this
+# default protects every remaining einsum (Jacobian accumulation, plane
+# fits, Schur reduction).  Users may override after import if they accept
+# the accuracy consequences for their own ops.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from light_loam_tpu.config import (
     ScanConfig,
     OdometryConfig,

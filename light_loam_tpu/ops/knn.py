@@ -32,10 +32,18 @@ _BIG = 1e30
 
 
 def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(Q,3),(N,3) -> (Q,N) squared distances via the MXU."""
+    """(Q,3),(N,3) -> (Q,N) squared distances via the MXU.
+
+    precision=HIGHEST is load-bearing: TPU matmuls default to bf16 inputs,
+    and with coordinates up to ~100 m the cross term reaches ~10⁴ m², so
+    bf16 rounding (~0.4% relative) injects tens of m² of error — larger
+    than the 25 m² correspondence gate.  Measured end-to-end: default
+    precision makes long trajectories diverge on TPU while the identical
+    program tracks perfectly on CPU.
+    """
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = a @ b.T
+    cross = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
     d = a2 + b2.T - 2.0 * cross
     return jnp.maximum(d, 0.0)
 
