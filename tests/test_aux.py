@@ -218,3 +218,20 @@ def test_vote_modes_run():
         t = np.asarray(out.t_w)
         assert np.isfinite(t).all()
         assert abs(t[0] - 0.6) < 0.3, f"{plane_mode}/{corner_mode}: {t}"
+
+
+def test_viz_renders(tmp_path):
+    """utils/viz: PNG quick-looks render without a display (rviz parity)."""
+    from light_loam_tpu.models import pipeline as pl
+    from light_loam_tpu.utils import viz
+
+    pipe, results, truth = pl.run_synthetic(
+        n_frames=4, profile="hdl64-small", n_azimuth=500, speed=0.5, seed=3
+    )
+    out = viz.render_pipeline(pipe, str(tmp_path / "viz"), gt=truth)
+    assert (tmp_path / "viz_map.png").exists()
+    p = viz.plot_trajectories(
+        str(tmp_path / "tr.png"),
+        [("gt", truth), ("est", np.stack([r.odom_t for r in results]))],
+    )
+    assert (tmp_path / "tr.png").stat().st_size > 0
