@@ -41,6 +41,7 @@ from light_loam_tpu.config import (
     HDL64_SMALL,
     VLP16,
     HDL32,
+    M2DGR_VLP32C,
 )
 
 __version__ = "0.1.0"
@@ -54,5 +55,6 @@ __all__ = [
     "HDL64_SMALL",
     "VLP16",
     "HDL32",
+    "M2DGR_VLP32C",
     "__version__",
 ]

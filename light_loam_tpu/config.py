@@ -41,6 +41,12 @@ class ScanConfig:
     # * (n-1)/(upper-lower) + 0.5) (scanRegistration.cpp:162,439-441).
     lower_bound_deg: float = -24.9
     upper_bound_deg: float = 2.0
+    # Ring-formula selector.  "auto": the per-sensor defaults of
+    # scanRegistration.cpp:142-169 (16/32-beam hardcoded, 64-beam uses the
+    # bounds above).  "bounds": always the linear bound formula — the
+    # reference's per-dataset override recipe (e.g. M2DGR VLP-32C with
+    # bounds −25..15, paramter_configuration_for_benchmarks.txt:30-37).
+    ring_formula: str = "auto"
 
     # Sensor sweep period in seconds (scanRegistration.cpp:28).
     scan_period: float = 0.1
@@ -254,6 +260,23 @@ VLP16 = PipelineConfig(
 
 HDL32 = PipelineConfig(
     scan=ScanConfig(n_scans=32, minimum_range=0.3, h_max=2304, max_points=131072),
+    odometry=OdometryConfig(skip_frame_num=1),
+    mapping=MappingConfig(line_resolution=0.2, plane_resolution=0.4),
+)
+
+# M2DGR (VLP-32C) per-dataset recipe: 32 beams over [−25°, +15°] with the
+# linear bound formula replacing the hardcoded 32-beam one
+# (paramter_configuration_for_benchmarks.txt:30-37).
+M2DGR_VLP32C = PipelineConfig(
+    scan=ScanConfig(
+        n_scans=32,
+        minimum_range=0.3,
+        h_max=2304,
+        max_points=131072,
+        lower_bound_deg=-25.0,
+        upper_bound_deg=15.0,
+        ring_formula="bounds",
+    ),
     odometry=OdometryConfig(skip_frame_num=1),
     mapping=MappingConfig(line_resolution=0.2, plane_resolution=0.4),
 )

@@ -47,13 +47,16 @@ def compute_ring_ids(xyz: jnp.ndarray, mask: jnp.ndarray, cfg: ScanConfig):
     (src/scanRegistration.cpp:142-169) including C truncation semantics."""
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     angle = jnp.arctan(z / jnp.sqrt(x * x + y * y)) * (180.0 / math.pi)
-    if cfg.n_scans == 16:
+    if cfg.ring_formula == "bounds" or cfg.n_scans == 64:
+        # Linear bound formula — the 64-beam default and the reference's
+        # per-dataset override recipe (M2DGR VLP-32C etc.,
+        # paramter_configuration_for_benchmarks.txt:19-37).
+        factor = (cfg.n_scans - 1) / (cfg.upper_bound_deg - cfg.lower_bound_deg)
+        ring = _trunc_int((angle - cfg.lower_bound_deg) * factor + 0.5)
+    elif cfg.n_scans == 16:
         ring = _trunc_int((angle + 15.0) / 2.0 + 0.5)
     elif cfg.n_scans == 32:
         ring = _trunc_int((angle + 92.0 / 3.0) * 3.0 / 4.0)
-    elif cfg.n_scans == 64:
-        factor = (cfg.n_scans - 1) / (cfg.upper_bound_deg - cfg.lower_bound_deg)
-        ring = _trunc_int((angle - cfg.lower_bound_deg) * factor + 0.5)
     else:
         raise ValueError(f"unsupported n_scans={cfg.n_scans}")
     ok = mask & (ring >= 0) & (ring < cfg.n_scans)
