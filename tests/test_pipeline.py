@@ -72,3 +72,49 @@ def test_gt_to_lidar_frame():
     # z_cam (forward) -> x_lidar; x_cam -> -y_lidar; y_cam -> -z_lidar
     np.testing.assert_allclose(t[0], [3.0, -1.0, -2.0])
     np.testing.assert_allclose(R[0], R_CAM_TO_LIDAR)
+
+
+@pytest.mark.slow
+def test_pipeline_tracks_through_turn():
+    """Full pipeline (features -> odometry -> mapping) through a curved
+    segment: straight, then a 20-degree heading change at 2.5 deg/frame,
+    then straight again.  Exercises yaw tracking and scan-to-map
+    refinement under rotation, which the straight-line e2e runs never do
+    (cf. reference operating regime: KITTI sequences with turns)."""
+    from light_loam_tpu.models.pipeline import Pipeline, PROFILES
+    from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
+
+    cfg = PROFILES["hdl64-small"]
+    pipe = Pipeline(cfg)
+    world = World.urban(seed=11)
+
+    step = 0.5
+    pos = np.zeros(3)
+    yaw = 0.0
+    truth_t, truth_yaw, results = [], [], []
+    for i in range(16):
+        if 4 <= i < 12:
+            yaw += np.radians(2.5)
+        pts = simulate_scan(
+            world, pos, sensor_yaw=yaw, n_rings=cfg.scan.n_scans,
+            lower_deg=cfg.scan.lower_bound_deg,
+            upper_deg=cfg.scan.upper_bound_deg,
+            n_azimuth=600, noise=0.01, seed=300 + i,
+        )
+        xyz, mask = pad_cloud(pts, cfg.scan.max_points)
+        results.append(pipe.process_frame(xyz, mask))
+        truth_t.append(pos.copy())
+        truth_yaw.append(yaw)
+        pos = pos + step * np.array([np.cos(yaw), np.sin(yaw), 0.0])
+    pipe._retire_mapping(wait=True)
+
+    mapped = [r for r in results if r.mapped]
+    assert len(mapped) >= 8
+    last = mapped[-1]
+    err_t = np.linalg.norm(last.map_t - truth_t[last.frame])
+    assert err_t < 0.30, f"turn position err {err_t}: {last.map_t}"
+    # mapped yaw: q = [x, y, z, w], rotation about z
+    qz, qw = float(last.map_q[2]), float(last.map_q[3])
+    yaw_est = 2.0 * np.arctan2(qz, qw)
+    yaw_err = np.degrees(abs(yaw_est - truth_yaw[last.frame]))
+    assert yaw_err < 1.5, f"turn yaw err {yaw_err} deg"
