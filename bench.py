@@ -17,6 +17,7 @@ Prints ONE JSON line to stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -31,7 +32,7 @@ from light_loam_tpu.models.odometry import OdometryState, odometry_step
 from light_loam_tpu.ops.features import extract_features
 from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
 
-BATCH = 8
+BATCH = int(os.environ.get("LLT_BENCH_BATCH", "8"))
 N_WARM = 2
 N_BENCH = 10
 
