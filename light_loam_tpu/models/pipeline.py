@@ -328,13 +328,19 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="run on the synthetic world instead of KITTI data")
+    ap.add_argument("--viz", metavar="PREFIX", default=None,
+                    help="write PNG quick-looks (PREFIX_traj.png, "
+                         "PREFIX_map.png) after the run — the headless "
+                         "stand-in for the reference's rviz launch")
     args = ap.parse_args()
 
     t0 = time.time()
+    gt = None
     if args.synthetic or not args.dataset:
         pipe, results, truth = run_synthetic(
             n_frames=args.frames or 20, profile=args.profile
         )
+        gt = truth
         err = np.linalg.norm(results[-1].odom_t - truth[-1])
         print(f"frames: {len(results)}  final pose error: {err:.3f} m")
     else:
@@ -344,6 +350,11 @@ def main():
     dt = time.time() - t0
     print(f"wall: {dt:.2f}s  dropped mapping frames: {pipe.dropped_mapping_frames}")
     print(pipe.timers.report())
+    if args.viz:
+        from light_loam_tpu.utils import viz
+
+        out = viz.render_pipeline(pipe, args.viz, gt=gt)
+        print("viz:", " ".join(sorted(out.values())))
 
 
 if __name__ == "__main__":
