@@ -157,6 +157,7 @@ def main():
     # (remote compiles through this harness's tunnel take minutes and the
     # persistent compilation cache does not apply to them).
     fps = 0.0
+    mode_used = "none"
     for mode in ("batched", "single"):
         try:
             out = subprocess.run(
@@ -165,14 +166,19 @@ def main():
             )
             sys.stderr.write(out.stderr)
             fps = json.loads(out.stdout.strip().splitlines()[-1])["fps"]
+            mode_used = mode
             break
         except Exception as e:  # noqa: BLE001 - fall back to the next mode
             log(f"{mode} bench failed: {e}")
+    # mode/batch recorded so runs at different configurations stay
+    # comparable (aggregate fps scales with BATCH in batched mode)
     print(json.dumps({
         "metric": "slam_frames_per_s_hdl64_e2e",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
+        "mode": mode_used,
+        "batch": BATCH if mode_used == "batched" else 1,
     }))
 
 

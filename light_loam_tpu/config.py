@@ -48,6 +48,13 @@ class ScanConfig:
     # bounds −25..15, paramter_configuration_for_benchmarks.txt:30-37).
     ring_formula: str = "auto"
 
+    def __post_init__(self):
+        if self.ring_formula not in ("auto", "bounds"):
+            raise ValueError(
+                f"ring_formula must be 'auto' or 'bounds', "
+                f"got {self.ring_formula!r}"
+            )
+
     # Sensor sweep period in seconds (scanRegistration.cpp:28).
     scan_period: float = 0.1
 

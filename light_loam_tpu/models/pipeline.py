@@ -30,6 +30,7 @@ from light_loam_tpu.config import (
     HDL32,
     HDL64_KITTI,
     HDL64_SMALL,
+    M2DGR_VLP32C,
     VLP16,
     PipelineConfig,
 )
@@ -43,6 +44,7 @@ PROFILES = {
     "hdl64": HDL64_KITTI,
     "vlp16": VLP16,
     "hdl32": HDL32,
+    "m2dgr": M2DGR_VLP32C,
     "hdl64-small": HDL64_SMALL,  # fast-compile profile for tests
 }
 
@@ -73,6 +75,10 @@ class Pipeline:
             np.zeros(3, np.float32),
         )
         self._keyframes: list = []
+        # full-length mapped-pose history (positions only, 3 floats/frame)
+        # — the /aft_mapped_path analog; _keyframes is a bounded window
+        # for refinement and must not be used as a trajectory record.
+        self._map_trajectory: list = []
         self.map_saturation_events = 0
         self.timers = StageTimers(budget_ms=self.cfg.frame_budget_ms)
         self._pending_map_out = None
@@ -165,6 +171,7 @@ class Pipeline:
         if mapped:
             self._retire_mapping(wait=cfg.sync_mapping)
             result.map_q, result.map_t = self._last_map_pose
+            self._map_trajectory.append(np.asarray(result.map_t).copy())
             self._buffer_keyframe(result.map_q, result.map_t)
         self.frame += 1
         self.timers.frame_done()
@@ -232,6 +239,15 @@ class Pipeline:
         self.odo_state, self.map_state, self.frame, _ = load_state(
             path, self.odo_state, self.map_state
         )
+
+    def mapped_positions(self) -> np.ndarray:
+        """(N, 3) mapped-pose positions for every mapped frame so far —
+        the /aft_mapped_path analog (laserMapping.cpp:2297-2305).  Waits
+        for any in-flight mapping step first."""
+        self._retire_mapping(wait=True)
+        if not self._map_trajectory:
+            return np.zeros((0, 3), np.float32)
+        return np.stack(self._map_trajectory)
 
     # -- map exports (the /laser_cloud_surround, /laser_cloud_map rviz
     #    surface, laserMapping.cpp:2171-2203) ---------------------------

@@ -41,6 +41,8 @@ def plot_trajectories(
     fig, ax = plt.subplots(figsize=(7, 7))
     for label, pos in trajectories:
         pos = np.asarray(pos)
+        if len(pos) == 0:
+            continue
         ax.plot(pos[:, 0], pos[:, 1], label=label, linewidth=1.2)
         ax.plot(pos[0, 0], pos[0, 1], "o", markersize=4, color="black")
     ax.set_xlabel("x [m]")
@@ -109,16 +111,16 @@ def render_pipeline(pipe, path_prefix: str,
     overlay + top-down map PNGs. Returns {name: path}."""
     from light_loam_tpu.models.mapping import full_map_cloud
 
-    pipe._retire_mapping(wait=True)
+    mapped = pipe.mapped_positions()  # waits for in-flight mapping
     (cx, cm), (sx, sm) = full_map_cloud(pipe.map_state)
-    mapped = np.asarray([k[1] for k in pipe._keyframes]) \
-        if pipe._keyframes else None
+    if len(mapped) < 2:
+        mapped = None
 
     out = {}
     tracks = []
     if gt is not None:
         tracks.append(("gt", gt))
-    if mapped is not None and len(mapped) >= 2:
+    if mapped is not None:
         tracks.append(("mapped", mapped))
     if tracks:
         out["trajectory"] = plot_trajectories(

@@ -4,6 +4,7 @@ vote modes, TransformToEnd, map output accessors."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from light_loam_tpu.config import MappingConfig, OdometryConfig, ScanConfig
 from light_loam_tpu.core import quaternion as quat
@@ -222,6 +223,7 @@ def test_vote_modes_run():
 
 def test_viz_renders(tmp_path):
     """utils/viz: PNG quick-looks render without a display (rviz parity)."""
+    pytest.importorskip("matplotlib")
     from light_loam_tpu.models import pipeline as pl
     from light_loam_tpu.utils import viz
 
@@ -230,6 +232,9 @@ def test_viz_renders(tmp_path):
     )
     out = viz.render_pipeline(pipe, str(tmp_path / "viz"), gt=truth)
     assert (tmp_path / "viz_map.png").exists()
+    # full-length mapped trajectory is exposed publicly
+    mapped = pipe.mapped_positions()
+    assert len(mapped) == sum(r.mapped for r in results)
     p = viz.plot_trajectories(
         str(tmp_path / "tr.png"),
         [("gt", truth), ("est", np.stack([r.odom_t for r in results]))],

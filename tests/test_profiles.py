@@ -102,3 +102,9 @@ def test_m2dgr_profile_tracks():
     err = np.linalg.norm(t - [1.0, 0, 0])
     assert err < 0.25, f"M2DGR drift too high: {t}"
     assert int(out.corner_count) > 20
+    assert int(out.plane_count) > 80
+
+
+def test_ring_formula_validated():
+    with pytest.raises(ValueError, match="ring_formula"):
+        ScanConfig(ring_formula="bound")
