@@ -32,7 +32,10 @@ from light_loam_tpu.models.odometry import OdometryState, odometry_step
 from light_loam_tpu.ops.features import extract_features
 from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
 
-BATCH = int(os.environ.get("LLT_BENCH_BATCH", "8"))
+try:
+    BATCH = int(os.environ.get("LLT_BENCH_BATCH", "8"))
+except ValueError:
+    BATCH = 8
 N_WARM = 2
 N_BENCH = 10
 
