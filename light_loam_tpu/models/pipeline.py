@@ -231,14 +231,20 @@ class Pipeline:
         from light_loam_tpu.utils.checkpoint import save_state
 
         self._retire_mapping(wait=True)
-        save_state(path, self.odo_state, self.map_state, frame=self.frame)
+        extra = {}
+        if self._map_trajectory:
+            extra["map_trajectory"] = np.stack(self._map_trajectory)
+        save_state(path, self.odo_state, self.map_state, frame=self.frame,
+                   extra=extra)
 
     def load(self, path: str) -> None:
         from light_loam_tpu.utils.checkpoint import load_state
 
-        self.odo_state, self.map_state, self.frame, _ = load_state(
+        self.odo_state, self.map_state, self.frame, extra = load_state(
             path, self.odo_state, self.map_state
         )
+        traj = extra.get("map_trajectory")
+        self._map_trajectory = [] if traj is None else list(traj)
 
     def mapped_positions(self) -> np.ndarray:
         """(N, 3) mapped-pose positions for every mapped frame so far —

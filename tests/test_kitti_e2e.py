@@ -106,3 +106,7 @@ def test_checkpoint_resume_continuity(tmp_path):
     rb3 = b.process_frame(*frame(3))
     np.testing.assert_allclose(rb3.odom_t, ra3.odom_t, atol=1e-5)
     np.testing.assert_allclose(rb3.odom_q, ra3.odom_q, atol=1e-5)
+    # mapped-pose history survives the snapshot (viz/trajectory parity)
+    ta, tb = a.mapped_positions(), b.mapped_positions()
+    assert len(tb) == len(ta)
+    np.testing.assert_allclose(tb, ta, atol=1e-5)
