@@ -44,6 +44,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# peak dense-matmul throughput per chip by device kind, FLOP/s.  bf16
+# figures (public spec sheets); the engine runs f32 with HIGHEST-precision
+# matmuls where correctness requires it, so MFU vs the bf16 peak is a
+# conservative lower bound on achieved efficiency.
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e / trillium
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_FLOPS.items():
+        if k.lower() in kind.lower():
+            return v
+    log(f"unknown device kind {kind!r}; assuming v5e peak")
+    return 197e12
+
+
+def flops_of(jitted_call, *args, **kwargs):
+    """Per-invocation FLOP estimate from XLA's compiled cost analysis.
+    Returns None when the backend/plugin doesn't support it."""
+    try:
+        compiled = jitted_call.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:  # noqa: BLE001 - analysis is best-effort
+        log(f"cost_analysis unavailable: {e}")
+        return None
+
+
 def make_frames(cfg, n):
     world = World.urban(seed=0)
     frames = []
@@ -60,7 +98,11 @@ def bench_single(cfg, frames):
     In production the ~1.6 MB/frame copy-in rides PCIe DMA overlapped with
     compute; this harness's TPU tunnel has high and *variable* transfer
     latency, so inputs are staged up front to measure the engine rather
-    than the test fixture's link."""
+    than the test fixture's link.
+
+    Returns (fps, pose, extras) where extras carries the per-stage device
+    times (the three stages are separate jitted programs here, so the
+    breakdown needs no extra compiles) and an MFU estimate."""
     odo_state = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
     map_state = MappingState.init(cfg.mapping)
 
@@ -86,7 +128,56 @@ def bench_single(cfg, frames):
                                           *puts[(N_WARM + i) % len(puts)])
     jax.block_until_ready((odo_state, map_state, mout))
     dt = time.perf_counter() - t0
-    return N_BENCH / dt, np.asarray(mout.t_w)
+    fps = N_BENCH / dt
+
+    # ---- per-stage blocked timing (VERDICT: stage_ms breakdown) ----
+    stage_ms = {}
+    flops = {}
+    x0, m0 = puts[0]
+    n_rep = 4
+
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        feats = extract_features(x0, m0, cfg.scan)
+        jax.block_until_ready(feats.sharp.xyz)
+    stage_ms["features"] = (time.perf_counter() - t0) / n_rep * 1000
+    flops["features"] = flops_of(extract_features, x0, m0, cfg.scan)
+
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        odo_state2, odo = odometry_step(odo_state, feats, cfg.odometry,
+                                        cfg.scan.scan_period)
+        jax.block_until_ready(odo.t_w)
+    stage_ms["odometry"] = (time.perf_counter() - t0) / n_rep * 1000
+    flops["odometry"] = flops_of(odometry_step, odo_state, feats,
+                                 cfg.odometry, cfg.scan.scan_period)
+
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        map_state2, mout2 = mapping_step(
+            map_state, odo_state.corner_last, odo_state.surf_last,
+            odo.q_w, odo.t_w, cfg.mapping,
+        )
+        jax.block_until_ready(mout2.t_w)
+    stage_ms["mapping"] = (time.perf_counter() - t0) / n_rep * 1000
+    flops["mapping"] = flops_of(
+        mapping_step, map_state, odo_state.corner_last,
+        odo_state.surf_last, odo.q_w, odo.t_w, cfg.mapping,
+    )
+
+    total_flops = (sum(v for v in flops.values() if v)
+                   if any(flops.values()) else None)
+    mfu = None
+    if total_flops:
+        mfu = total_flops * fps / peak_flops()
+    extras = {
+        "stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
+        "flops_per_frame": total_flops,
+        "mfu_est": round(mfu, 5) if mfu is not None else None,
+    }
+    log(f"stage_ms: {extras['stage_ms']}  flops/frame: {total_flops}  "
+        f"mfu≈{extras['mfu_est']}")
+    return fps, np.asarray(mout.t_w), extras
 
 
 def bench_batched(cfg, frames):
@@ -119,27 +210,40 @@ def bench_batched(cfg, frames):
             state, *puts[(N_WARM + i) % len(puts)], cfg
         )
         jax.block_until_ready(state)
-    log(f"batched blocked-per-step: "
-        f"{(time.perf_counter()-t1)/4*1000:.2f} ms/step")
-    return N_BENCH * BATCH / dt, np.asarray(mout.t_w)
+    blocked_ms = (time.perf_counter() - t1) / 4 * 1000
+    log(f"batched blocked-per-step: {blocked_ms:.2f} ms/step")
+
+    fps = N_BENCH * BATCH / dt
+    step_flops = flops_of(batched_frame_step, state, *puts[0], cfg)
+    mfu = None
+    if step_flops:
+        # fps counts frames (=lanes·steps); flops are per step of BATCH lanes
+        mfu = step_flops * (fps / BATCH) / peak_flops()
+    extras = {
+        "blocked_step_ms": round(blocked_ms, 3),
+        "flops_per_step": step_flops,
+        "mfu_est": round(mfu, 5) if mfu is not None else None,
+    }
+    log(f"batched flops/step: {step_flops}  mfu≈{extras['mfu_est']}")
+    return fps, np.asarray(mout.t_w), extras
 
 
-def run_mode(mode: str) -> float:
+def run_mode(mode: str) -> dict:
     cfg = HDL64_KITTI
     log(f"devices: {jax.devices()}")
     frames = make_frames(cfg, N_WARM + N_BENCH)
     log(f"synthetic frames: {len(frames)}, ~{int(frames[0][1].sum())} pts each")
     t0 = time.time()
     if mode == "single":
-        fps, pose = bench_single(cfg, frames)
+        fps, pose, extras = bench_single(cfg, frames)
         log(f"single-stream: {fps:.1f} frames/s ({1000/fps:.2f} ms/frame), "
             f"pose {pose.round(2)}")
     else:
-        fps, pose = bench_batched(cfg, frames)
+        fps, pose, extras = bench_batched(cfg, frames)
         log(f"batched (B={BATCH}): {fps:.1f} frames/s aggregate "
             f"({1000*BATCH/fps:.2f} ms/step)")
     log(f"{mode} wall (incl. compiles): {time.time()-t0:.1f}s")
-    return fps
+    return {"fps": fps, **extras}
 
 
 def main():
@@ -151,38 +255,71 @@ def main():
     import sys as _sys
 
     if len(_sys.argv) > 1:
-        fps = run_mode(_sys.argv[1])
-        print(json.dumps({"fps": fps}))
+        print(json.dumps(run_mode(_sys.argv[1])))
         return
 
     # batched is the headline (and the bigger number); single-stream runs
-    # only as a fallback so total wall stays inside one compile budget
-    # (remote compiles through this harness's tunnel take minutes and the
-    # persistent compilation cache does not apply to them).
+    # afterwards IF budget remains — it carries the per-stage device-time
+    # breakdown and MFU estimate (each stage is its own jitted program
+    # there).  Remote compiles through this harness's tunnel take minutes
+    # and the persistent compilation cache does not apply, so each mode
+    # gets a hard wall.
+    t_start = time.time()
+    results = {}
     fps = 0.0
     mode_used = "none"
     for mode in ("batched", "single"):
+        budget_left = 560 - (time.time() - t_start)
+        if mode == "single" and budget_left < 240:
+            log(f"skipping single mode: only {budget_left:.0f}s budget left")
+            break
         try:
             out = subprocess.run(
                 [_sys.executable, __file__, mode],
-                capture_output=True, text=True, timeout=560,
+                capture_output=True, text=True,
+                timeout=max(60, min(360, budget_left - 10)),
             )
             sys.stderr.write(out.stderr)
-            fps = json.loads(out.stdout.strip().splitlines()[-1])["fps"]
-            mode_used = mode
-            break
+            results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
+            if mode_used == "none":
+                fps = results[mode]["fps"]
+                mode_used = mode
         except Exception as e:  # noqa: BLE001 - fall back to the next mode
             log(f"{mode} bench failed: {e}")
+    if mode_used == "none" and "single" not in results:
+        # batched failed and single never ran: try single as fallback
+        try:
+            out = subprocess.run(
+                [_sys.executable, __file__, "single"],
+                capture_output=True, text=True, timeout=300,
+            )
+            sys.stderr.write(out.stderr)
+            results["single"] = json.loads(out.stdout.strip().splitlines()[-1])
+            fps = results["single"]["fps"]
+            mode_used = "single"
+        except Exception as e:  # noqa: BLE001
+            log(f"single fallback failed: {e}")
+
     # mode/batch recorded so runs at different configurations stay
     # comparable (aggregate fps scales with BATCH in batched mode)
-    print(json.dumps({
+    record = {
         "metric": "slam_frames_per_s_hdl64_e2e",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         "mode": mode_used,
         "batch": BATCH if mode_used == "batched" else 1,
-    }))
+    }
+    b = results.get("batched")
+    if b:
+        record["mfu_est"] = b.get("mfu_est")
+        record["blocked_step_ms"] = b.get("blocked_step_ms")
+    s = results.get("single")
+    if s:
+        record["single_fps"] = round(s["fps"], 3)
+        record["stage_ms"] = s.get("stage_ms")
+        record["single_mfu_est"] = s.get("mfu_est")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

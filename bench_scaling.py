@@ -1,0 +1,209 @@
+"""Multi-device scaling harness → SCALING.json.
+
+Measures the two distribution axes of the framework (SURVEY.md §2.7):
+
+  * WEAK scaling, data-parallel batched SLAM (parallel/batch_sharded.py):
+    B lanes per device, lanes sharded over a 1-D mesh — zero collectives,
+    the throughput mode.  efficiency(n) = fps(n) / (n · fps(1)).
+  * STRONG scaling, cell-hash-sharded mapping (parallel/sharded.py):
+    one fixed-size scan-to-map step split over n devices — all_gather'd
+    k-NN candidates + psum'd Gauss-Newton.  efficiency(n) = t1 / (n·tn).
+
+Default runs on the virtual CPU mesh (xla_force_host_platform_device_count
+= 8) — the same-code proxy for a TPU slice (SURVEY §4).  IMPORTANT caveat
+recorded in the artifact: the N virtual devices share os.cpu_count()
+physical cores, so wall-clock efficiency beyond n = cores is bounded by
+core contention, not by the sharded program.  On a real slice
+(--real with >1 device) the same code measures true ICI scaling.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# env must be set before jax initializes a backend (CLAUDE.md: the axon
+# plugin is pinned via sitecustomize; CPU needs env + config override)
+if "--real" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if "--real" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def weak_scaling_batched(cfg, device_counts, lanes_per_device, n_steps):
+    from light_loam_tpu.parallel.batch_sharded import (
+        init_sharded_batch_state,
+        make_data_mesh,
+        put_frames,
+        sharded_batched_frame_step,
+    )
+    from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
+
+    world = World.urban(seed=0)
+    pts = simulate_scan(world, np.zeros(3), n_rings=cfg.scan.n_scans,
+                        n_azimuth=900, noise=0.01, seed=1)
+    xyz1, mask1 = pad_cloud(pts, cfg.scan.max_points)
+
+    rows = []
+    for n in device_counts:
+        B = n * lanes_per_device
+        mesh = make_data_mesh(n)
+        state = init_sharded_batch_state(cfg, B, mesh)
+        xyz = np.ascontiguousarray(np.broadcast_to(xyz1, (B,) + xyz1.shape))
+        mask = np.ascontiguousarray(np.broadcast_to(mask1, (B,) + mask1.shape))
+        dx, dm = put_frames(xyz, mask, mesh)
+        jax.block_until_ready((dx, dm))
+        for _ in range(2):  # warmup incl. compile
+            state, odo, mout = sharded_batched_frame_step(state, dx, dm, cfg)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, odo, mout = sharded_batched_frame_step(state, dx, dm, cfg)
+        jax.block_until_ready((state, mout))
+        dt = time.perf_counter() - t0
+        fps = n_steps * B / dt
+        rows.append({"devices": n, "batch": B, "fps": round(fps, 2),
+                     "step_ms": round(1000 * dt / n_steps, 3)})
+        log(f"weak n={n}: B={B} {fps:.1f} frames/s "
+            f"({1000*dt/n_steps:.1f} ms/step)")
+    base = rows[0]
+    for r in rows:
+        r["efficiency"] = round(
+            r["fps"] / (r["devices"] / base["devices"] * base["fps"]), 4
+        )
+    return rows
+
+
+def strong_scaling_mapping(cfg, device_counts, n_steps):
+    from light_loam_tpu.core.frame import PointCloud
+    from light_loam_tpu.core import quaternion as quat
+    from light_loam_tpu.models.mapping import MappingState, mapping_step
+    from light_loam_tpu.parallel.sharded import (
+        make_mesh,
+        shard_mapping_state,
+        sharded_mapping_step,
+    )
+    from light_loam_tpu.utils.synthetic import World, simulate_scan
+
+    world = World.urban(seed=2)
+    rng = np.random.default_rng(0)
+
+    def cloud(n_pts, cap, seed):
+        pts = simulate_scan(world, np.zeros(3), n_azimuth=1100, noise=0.01,
+                            seed=seed)
+        idx = rng.permutation(len(pts))[:n_pts]
+        xyz = np.zeros((cap, 3), np.float32)
+        m = np.zeros(cap, bool)
+        xyz[: len(idx)] = pts[idx]
+        m[: len(idx)] = True
+        return PointCloud(xyz=jnp.asarray(xyz), rel=jnp.zeros(cap),
+                          mask=jnp.asarray(m))
+
+    corner = cloud(900, 1024, 3)
+    surf = cloud(4000, 4096, 4)
+    mcfg = cfg.mapping
+
+    rows = []
+    for n in device_counts:
+        mesh = make_mesh(n)
+        state = shard_mapping_state(MappingState.init(mcfg), mesh)
+        # seed the map with one step so the solve path is active
+        state, _ = sharded_mapping_step(
+            state, corner, surf, quat.quat_identity(), jnp.zeros(3),
+            mcfg, mesh,
+        )
+        t_odom = jnp.asarray(np.array([0.4, 0.0, 0.0], np.float32))
+        state, out = sharded_mapping_step(  # warm (compiled above)
+            state, corner, surf, quat.quat_identity(), t_odom, mcfg, mesh
+        )
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, out = sharded_mapping_step(
+                state, corner, surf, quat.quat_identity(), t_odom, mcfg, mesh
+            )
+        jax.block_until_ready((state, out))
+        dt = time.perf_counter() - t0
+        rows.append({"devices": n,
+                     "step_ms": round(1000 * dt / n_steps, 3)})
+        log(f"strong n={n}: {1000*dt/n_steps:.1f} ms/step")
+    t1 = rows[0]["step_ms"]
+    for r in rows:
+        r["speedup"] = round(t1 / r["step_ms"], 4)
+        r["efficiency"] = round(t1 / (r["devices"] * r["step_ms"]), 4)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser(description="multi-device scaling harness")
+    ap.add_argument("--real", action="store_true",
+                    help="use the real backend instead of the virtual CPU mesh")
+    ap.add_argument("--devices", default=None,
+                    help="comma list of device counts (default: 1,2,4,..,N)")
+    ap.add_argument("--lanes-per-device", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--profile", default="hdl64-small",
+                    help="pipeline profile (hdl64-small keeps CPU compile sane)")
+    args = ap.parse_args()
+
+    from light_loam_tpu.models.pipeline import PROFILES
+
+    cfg = PROFILES[args.profile]
+    n_dev = len(jax.devices())
+    if args.devices:
+        counts = [int(x) for x in args.devices.split(",")]
+        dropped = [n for n in counts if n > n_dev]
+        if dropped:
+            log(f"dropping counts {dropped}: only {n_dev} devices visible")
+        counts = [n for n in counts if n <= n_dev]
+    else:
+        counts = [n for n in (1, 2, 4, 8) if n <= n_dev]
+    if not counts:
+        raise SystemExit(f"no usable device counts (devices={n_dev})")
+    log(f"platform={jax.default_backend()} devices={n_dev} counts={counts}")
+
+    weak = weak_scaling_batched(cfg, counts, args.lanes_per_device, args.steps)
+    strong = strong_scaling_mapping(cfg, counts, args.steps)
+
+    result = {
+        "platform": jax.default_backend(),
+        "host_cores": os.cpu_count(),
+        "n_devices": n_dev,
+        "profile": args.profile,
+        "weak_scaling_batched": weak,
+        "strong_scaling_mapping": strong,
+        "note": (
+            "virtual CPU mesh proxy: N virtual devices share "
+            f"{os.cpu_count()} physical cores, so wall-clock efficiency "
+            "beyond n=cores is bounded by core contention, not by the "
+            "sharded program; the same code path measures true ICI "
+            "scaling on a real slice (--real)."
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({
+        "weak_eff": [r["efficiency"] for r in weak],
+        "strong_eff": [r["efficiency"] for r in strong],
+        "out": args.out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,10 +168,6 @@ class OdometryConfig:
     # (laserOdometry.cpp:23) so s == 1 always.
     distortion: bool = False
 
-    # Static capacity for per-chunk vote matrices: ceil(max_flat/regions)
-    # padded to the fp32 sublane (8).  Chosen at trace time from cloud sizes.
-    vote_chunk_pad: int = 8
-
 
 @dataclass(frozen=True)
 class MappingConfig:
@@ -212,6 +208,33 @@ class MappingConfig:
     line_point_offset: float = 0.1
     # Plane inlier gate: |n.p + d| <= 0.2 (laserMapping.cpp:1979).
     plane_fit_gate: float = 0.2
+
+    # Scan-to-map graph vote (the reference's latent mapping-stage call
+    # sites, laserMapping.cpp:2057-2072: Corre_Match records src = stack
+    # point, tgt = 5-NN centroid (cx,cy,cz at 1995-2003), then
+    # graph_based_correspondence_vote_simple selects which surf factors
+    # enter the problem).  "off" matches the live reference (call sites
+    # commented out); "simple"/"full" engage the same kernels the
+    # odometry stage uses (ops/graphvote.py).
+    vote_mode: str = "off"
+    # Gate: vote only after this many mapped frames (the latent site reads
+    # `now_frame > 20`, laserMapping.cpp:2057).
+    vote_start_frame: int = 20
+    # Chunking: 10 regions like the odometry planar vote (the latent call
+    # passes corner_case=true but runs on surf correspondences; the
+    # kernel's region count is what matters — laserMapping.cpp:848-858).
+    vote_regions: int = 10
+    vote_score_threshold: float = 0.96
+    vote_resolution: float = 1.0
+    vote_selected_ratio: float = 0.90
+    vote_low_vote_count: int = 50
+    vote_low_vote_weight: float = 5.0
+    vote_high_vote_weight: float = 1.0
+    vote_backend: str = "auto"
+    # The latent path only *selects* factors (LidarPlaneNormFactor takes no
+    # weight); True additionally applies the vote weight/score to the
+    # surviving factors — the [DEV] extension matching the odometry stage.
+    vote_apply_weights: bool = False
 
     # ---- static capacities ----
     # Whole cube-map point stores (all 21x21x11 cells, flat layout).

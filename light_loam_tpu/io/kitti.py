@@ -112,6 +112,18 @@ class KittiSequence:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """Bounded put that re-checks `stop` so an early-stopping
+            consumer (e.g. run_kitti with max_frames) can't leave the
+            thread blocked forever on a full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             for i in range(len(self)):
                 if stop.is_set():
@@ -119,8 +131,9 @@ class KittiSequence:
                 xyz, _inten, mask = read_lidar_bin_padded(
                     self.frame_path(i), capacity
                 )
-                q.put((self.times[i], xyz, mask))
-            q.put(None)
+                if not put_checked((self.times[i], xyz, mask)):
+                    return
+            put_checked(None)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -132,6 +145,7 @@ class KittiSequence:
                 yield item
         finally:
             stop.set()
+            th.join(timeout=5.0)
 
 
 class KittiPoseWriter:

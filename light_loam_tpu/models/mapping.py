@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from light_loam_tpu.config import MappingConfig
 from light_loam_tpu.core import quaternion as quat
 from light_loam_tpu.core.frame import PointCloud
-from light_loam_tpu.ops import knn
+from light_loam_tpu.ops import graphvote, knn
 from light_loam_tpu.ops.eig3 import eigh3x3
 from light_loam_tpu.ops.voxel import voxel_downsample
 from light_loam_tpu.solver import (
@@ -67,6 +67,8 @@ class MappingState(NamedTuple):
     cen: jnp.ndarray   # (3,) int32 — laserCloudCenWidth/Height/Depth
     q_wm: jnp.ndarray  # (4,) map←odom rotation (q_wmap_wodom)
     t_wm: jnp.ndarray  # (3,)
+    frame: jnp.ndarray  # int32 — mapped-frame counter (`now_frame` analog,
+    #                     gates the scan-to-map vote, laserMapping.cpp:2057)
 
     @staticmethod
     def init(cfg: MappingConfig) -> "MappingState":
@@ -77,6 +79,7 @@ class MappingState(NamedTuple):
             cen=jnp.asarray([10, 10, 5], jnp.int32),
             q_wm=quat.quat_identity(),
             t_wm=jnp.zeros(3),
+            frame=jnp.int32(0),
         )
 
 
@@ -87,6 +90,10 @@ class MappingOutput(NamedTuple):
     surf_factors: jnp.ndarray
     map_corner_points: jnp.ndarray
     map_surf_points: jnp.ndarray
+    # points of the 5×5×3 neighbourhood that did not fit the local-map
+    # capacities this step (0 = healthy; >0 means local_*_capacity is
+    # undersized for the scene density and whole cells were dropped)
+    local_overflow: jnp.ndarray
 
 
 def rslidar_quat_remap(q: jnp.ndarray) -> jnp.ndarray:
@@ -173,7 +180,13 @@ def _recenter(state: MappingState, t_w: jnp.ndarray, cfg: MappingConfig):
 def _gather_local(store: MapStore, center: jnp.ndarray, cfg: MappingConfig,
                   capacity: int):
     """Compact points of the 5×5×3 neighbourhood (ref:1784-1809) into a
-    fixed-capacity buffer ordered by cell id."""
+    fixed-capacity buffer ordered by cell id.
+
+    Returns (xyz, mask, overflow): overflow is the number of neighbourhood
+    points that did NOT fit in `capacity`.  Because the compaction is
+    ordered by cell id, an overflow drops whole high-index cells
+    systematically — it must be surfaced to operators (analogous to the
+    map-store saturation counter), not silently truncated."""
     ijk = _cell_split(store.cell, cfg)
     d = jnp.abs(ijk - center[None, :])
     local = (
@@ -186,7 +199,8 @@ def _gather_local(store: MapStore, center: jnp.ndarray, cfg: MappingConfig,
     order = jnp.argsort(key, stable=True)[:capacity]
     count = jnp.sum(local.astype(jnp.int32))
     out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
-    return store.xyz[order], out_mask
+    overflow = jnp.maximum(count - capacity, 0)
+    return store.xyz[order], out_mask, overflow
 
 
 def _solve3x3(A: jnp.ndarray, b: jnp.ndarray):
@@ -291,7 +305,7 @@ def surround_cloud(state: MappingState, t_w: jnp.ndarray, cfg: MappingConfig,
     center = _cube_of(t_w[None, :], state.cen, cfg)[0]
 
     def gather(store):
-        return _gather_local(store, center, cfg, capacity)
+        return _gather_local(store, center, cfg, capacity)[:2]
 
     cx, cm = gather(state.corner)
     sx, sm = gather(state.surf)
@@ -334,10 +348,10 @@ def mapping_step(
     corner_store, surf_store, cen, center = _recenter(state, t_w, cfg)
 
     # 3. local map + stacks
-    local_c_xyz, local_c_mask = _gather_local(
+    local_c_xyz, local_c_mask, ovf_c = _gather_local(
         corner_store, center, cfg, cfg.local_corner_capacity
     )
-    local_s_xyz, local_s_mask = _gather_local(
+    local_s_xyz, local_s_mask, ovf_s = _gather_local(
         surf_store, center, cfg, cfg.local_surf_capacity
     )
     stack_c_xyz, _, stack_c_mask, _ = voxel_downsample(
@@ -364,6 +378,9 @@ def mapping_step(
 
     n_cf = jnp.int32(0)
     n_sf = jnp.int32(0)
+    use_vote = (cfg.vote_mode != "off") and (
+        state.frame > cfg.vote_start_frame
+    )
     for _ in range(cfg.outer_iterations):
         d_c, near_c = neighbours(stack_c_xyz, local_c_xyz, local_c_mask, q_w, t_w)
         ef = line_fit_factors(
@@ -373,6 +390,31 @@ def mapping_step(
         pf = plane_fit_factors(
             stack_s_xyz, stack_s_mask & big_enough, d_s, near_s, cfg
         )
+        if cfg.vote_mode != "off":
+            # latent mapping-stage vote (laserMapping.cpp:2057-2072):
+            # src = stack point in sensor frame, tgt = 5-NN centroid
+            # (the Corre_Match recorded at laserMapping.cpp:1993-2003);
+            # survivors keep their plane factor, the rest are dropped.
+            chunk_cap = (
+                cfg.stack_surf_capacity // cfg.vote_regions + cfg.vote_regions
+            )
+            sel, w = graphvote.run_vote(
+                cfg.vote_mode, stack_s_xyz, jnp.mean(near_s, axis=1), pf.mask,
+                n_regions=cfg.vote_regions, chunk_capacity=chunk_cap,
+                score_threshold=cfg.vote_score_threshold,
+                resolution=cfg.vote_resolution,
+                selected_ratio=cfg.vote_selected_ratio,
+                low_vote_count=cfg.vote_low_vote_count,
+                low_vote_weight=cfg.vote_low_vote_weight,
+                high_vote_weight=cfg.vote_high_vote_weight,
+                backend=cfg.vote_backend,
+            )
+            pf = pf._replace(
+                mask=pf.mask & jnp.where(use_vote, sel, True),
+                weight=jnp.where(
+                    use_vote & cfg.vote_apply_weights, w, pf.weight
+                ),
+            )
         q_w, t_w, _cost = lm_solve(
             q_w, t_w, FactorSet(edge=ef, plane_norm=pf),
             n_iterations=cfg.inner_iterations,
@@ -400,12 +442,14 @@ def mapping_step(
     )
 
     new_state = MappingState(
-        corner=corner_store, surf=surf_store, cen=cen, q_wm=q_wm, t_wm=t_wm
+        corner=corner_store, surf=surf_store, cen=cen, q_wm=q_wm, t_wm=t_wm,
+        frame=state.frame + 1,
     )
     out = MappingOutput(
         q_w=q_w, t_w=t_w,
         corner_factors=n_cf, surf_factors=n_sf,
         map_corner_points=jnp.sum(corner_store.mask.astype(jnp.int32)),
         map_surf_points=jnp.sum(surf_store.mask.astype(jnp.int32)),
+        local_overflow=ovf_c + ovf_s,
     )
     return new_state, out

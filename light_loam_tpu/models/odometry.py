@@ -43,29 +43,17 @@ from light_loam_tpu.solver import (
 
 def _run_vote(mode: str, src, tgt, valid, n_regions, chunk_cap, cfg):
     """Dispatch to the configured vote kernel; returns (selected, weight)."""
-    if mode == "off":
-        return valid, jnp.ones_like(src[:, 0])
-    if mode == "simple":
-        v = graphvote.simple_vote(
-            src, tgt, valid,
-            n_regions=n_regions, chunk_capacity=chunk_cap,
-            score_threshold=cfg.vote_score_threshold,
-            resolution=cfg.vote_resolution,
-            selected_ratio=cfg.vote_selected_ratio,
-            low_vote_count=cfg.vote_low_vote_count,
-            low_vote_weight=cfg.vote_low_vote_weight,
-            high_vote_weight=cfg.vote_high_vote_weight,
-            backend=cfg.vote_backend,
-        )
-        return v.selected, v.weight
-    if mode == "full":
-        v = graphvote.full_graph_vote(
-            src, tgt, valid,
-            n_regions=n_regions, chunk_capacity=chunk_cap,
-            resolution=cfg.vote_resolution,
-        )
-        return v.selected, v.score
-    raise ValueError(f"unknown vote mode: {mode}")
+    return graphvote.run_vote(
+        mode, src, tgt, valid,
+        n_regions=n_regions, chunk_capacity=chunk_cap,
+        score_threshold=cfg.vote_score_threshold,
+        resolution=cfg.vote_resolution,
+        selected_ratio=cfg.vote_selected_ratio,
+        low_vote_count=cfg.vote_low_vote_count,
+        low_vote_weight=cfg.vote_low_vote_weight,
+        high_vote_weight=cfg.vote_high_vote_weight,
+        backend=cfg.vote_backend,
+    )
 
 
 class OdometryState(NamedTuple):
@@ -229,9 +217,23 @@ def odometry_step(
     t_w = state.t_w + quat.quat_rotate(state.q_w, t)
     q_w = quat.quat_normalize(quat.quat_multiply(state.q_w, q))
 
+    if cfg.distortion:
+        # undistorted hand-off (the reference's dormant TransformToEnd
+        # block, laserOdometry.cpp:861-880): with motion compensation on,
+        # the stored "last" clouds must live in the end-of-sweep frame —
+        # otherwise the next frame matches its undistorted points against
+        # raw distorted ones and the model is inconsistent (measured: the
+        # hook HURTS accuracy without this).  [DEV] the reference ships
+        # the block disabled because it also ships DISTORTION 0.
+        corner_keep = transform_to_end(q, t, feats.less_sharp, True, scan_period)
+        surf_keep = transform_to_end(q, t, feats.less_flat, True, scan_period)
+    else:
+        corner_keep = feats.less_sharp
+        surf_keep = feats.less_flat
+
     new_state = OdometryState(
-        corner_last=feats.less_sharp,
-        surf_last=feats.less_flat,
+        corner_last=corner_keep,
+        surf_last=surf_keep,
         q_w=q_w,
         t_w=t_w,
         q_lc=q,

@@ -79,7 +79,9 @@ class Pipeline:
         # — the /aft_mapped_path analog; _keyframes is a bounded window
         # for refinement and must not be used as a trajectory record.
         self._map_trajectory: list = []
+        self._map_quats: list = []
         self.map_saturation_events = 0
+        self.local_overflow_events = 0
         self.timers = StageTimers(budget_ms=self.cfg.frame_budget_ms)
         self._pending_map_out = None
         self._pending_map_state = None
@@ -104,12 +106,21 @@ class Pipeline:
             out = self._pending_map_out
             self.map_state = self._pending_map_state
             self._last_map_pose = (np.asarray(out.q_w), np.asarray(out.t_w))
+            # the mapped-pose history records each step's own pose AT
+            # retirement (not the previous pose at dispatch) so the
+            # trajectory is exact in async mode too
+            self._map_trajectory.append(np.asarray(out.t_w).copy())
+            self._map_quats.append(np.asarray(out.q_w).copy())
             # saturation watch: the voxel-dedup store drops overflow
             # silently; surface it for operators (capacity should be
             # raised, or the sequence has outgrown the cube window)
             if int(out.map_surf_points) >= self.cfg.mapping.map_surf_capacity \
                     or int(out.map_corner_points) >= self.cfg.mapping.map_corner_capacity:
                 self.map_saturation_events += 1
+            # local-map gather overflow (whole cells dropped): same class
+            # of observability as map_saturation_events
+            if int(out.local_overflow) > 0:
+                self.local_overflow_events += 1
             self._pending_map_out = None
             self._pending_map_state = None
 
@@ -170,8 +181,9 @@ class Pipeline:
         )
         if mapped:
             self._retire_mapping(wait=cfg.sync_mapping)
+            # async mode: this is the last *retired* pose (stale by up to
+            # one step, as documented on PipelineConfig.sync_mapping)
             result.map_q, result.map_t = self._last_map_pose
-            self._map_trajectory.append(np.asarray(result.map_t).copy())
             self._buffer_keyframe(result.map_q, result.map_t)
         self.frame += 1
         self.timers.frame_done()
@@ -181,6 +193,7 @@ class Pipeline:
     def refine_recent_keyframes(
         self, n_keyframes: int = 4, stack_points: int = 2048,
         n_landmarks: int = 512, n_iterations: int = 4,
+        apply: bool = False,
     ):
         """Jointly re-refine the most recent keyframe poses against plane
         landmarks extracted from the map (the Schur-complement window —
@@ -189,6 +202,12 @@ class Pipeline:
         Returns (q (K,4), t (K,3)) refined poses for the stored window,
         or None if fewer than 2 keyframes are buffered.  Keyframes are
         buffered automatically for every mapped frame.
+
+        ``apply=True`` integrates the result: the stored keyframes and the
+        mapped trajectory rows they came from are rewritten with the
+        refined poses, and the odom→map correction (q_wm, t_wm — the
+        transformUpdate state, laserMapping.cpp:119-123) is re-anchored on
+        the newest refined pose so subsequent frames continue from it.
         """
         import jax.numpy as jnp
         from light_loam_tpu.models.refine import (
@@ -210,7 +229,30 @@ class Pipeline:
         q, t, _ = refine_window(
             qs, ts, stacks, masks, lm, n_iterations=n_iterations
         )
-        return np.asarray(q), np.asarray(t)
+        q, t = np.asarray(q), np.asarray(t)
+
+        if apply:
+            base = len(self._keyframes) - K
+            for i in range(K):
+                kf = self._keyframes[base + i]
+                self._keyframes[base + i] = (q[i], t[i], kf[2], kf[3], kf[4])
+                idx = kf[4]
+                if idx is not None and 0 <= idx < len(self._map_trajectory):
+                    self._map_trajectory[idx] = t[i].copy()
+                    self._map_quats[idx] = q[i].copy()
+            self._last_map_pose = (q[-1].copy(), t[-1].copy())
+            # re-anchor the odom→map correction on the refined newest pose
+            # so the next mapping step's initial guess continues from it
+            q_odo = jnp.asarray(self._last_odo_pose[0])
+            t_odo = jnp.asarray(self._last_odo_pose[1])
+            q_wm = quat.quat_normalize(
+                quat.quat_multiply(
+                    jnp.asarray(q[-1]), quat.quat_inverse(q_odo)
+                )
+            )
+            t_wm = jnp.asarray(t[-1]) - quat.quat_rotate(q_wm, t_odo)
+            self.map_state = self.map_state._replace(q_wm=q_wm, t_wm=t_wm)
+        return q, t
 
     def _buffer_keyframe(self, q, t, stack_points: int = 2048):
         from light_loam_tpu.ops.voxel import voxel_downsample
@@ -220,8 +262,12 @@ class Pipeline:
             surf.xyz, surf.rel, surf.mask,
             self.cfg.mapping.plane_resolution, stack_points,
         )
+        # last element: index of this keyframe's row in the mapped-pose
+        # history, so refine_recent_keyframes(apply=True) can rewrite it
+        traj_idx = len(self._map_trajectory) - 1 if self._map_trajectory else None
         self._keyframes.append(
-            (np.asarray(q), np.asarray(t), np.asarray(sx), np.asarray(sm))
+            (np.asarray(q), np.asarray(t), np.asarray(sx), np.asarray(sm),
+             traj_idx)
         )
         if len(self._keyframes) > 16:
             self._keyframes.pop(0)
@@ -231,9 +277,18 @@ class Pipeline:
         from light_loam_tpu.utils.checkpoint import save_state
 
         self._retire_mapping(wait=True)
-        extra = {}
+        extra = {
+            # divergence-containment fallback poses must survive resume:
+            # without them a non-finite pose on the first post-resume frame
+            # would reset the world pose to the identity (origin)
+            "last_odo_q": self._last_odo_pose[0],
+            "last_odo_t": self._last_odo_pose[1],
+            "last_map_q": self._last_map_pose[0],
+            "last_map_t": self._last_map_pose[1],
+        }
         if self._map_trajectory:
             extra["map_trajectory"] = np.stack(self._map_trajectory)
+            extra["map_quats"] = np.stack(self._map_quats)
         save_state(path, self.odo_state, self.map_state, frame=self.frame,
                    extra=extra)
 
@@ -245,6 +300,32 @@ class Pipeline:
         )
         traj = extra.get("map_trajectory")
         self._map_trajectory = [] if traj is None else list(traj)
+        quats = extra.get("map_quats")
+        self._map_quats = [] if quats is None else list(quats)
+        # restore containment fallbacks (older checkpoints without the
+        # extras fall back to the restored odometry/mapping state poses)
+        if "last_odo_q" in extra:
+            self._last_odo_pose = (
+                np.asarray(extra["last_odo_q"], np.float32),
+                np.asarray(extra["last_odo_t"], np.float32),
+            )
+        else:
+            self._last_odo_pose = (
+                np.asarray(self.odo_state.q_w, np.float32),
+                np.asarray(self.odo_state.t_w, np.float32),
+            )
+        if "last_map_q" in extra:
+            self._last_map_pose = (
+                np.asarray(extra["last_map_q"], np.float32),
+                np.asarray(extra["last_map_t"], np.float32),
+            )
+        else:
+            ms = self.map_state
+            q = np.asarray(quat.quat_multiply(ms.q_wm, self.odo_state.q_w))
+            t = np.asarray(
+                quat.quat_rotate(ms.q_wm, self.odo_state.t_w)
+            ) + np.asarray(ms.t_wm)
+            self._last_map_pose = (q.astype(np.float32), t.astype(np.float32))
 
     def mapped_positions(self) -> np.ndarray:
         """(N, 3) mapped-pose positions for every mapped frame so far —
@@ -254,6 +335,17 @@ class Pipeline:
         if not self._map_trajectory:
             return np.zeros((0, 3), np.float32)
         return np.stack(self._map_trajectory)
+
+    def mapped_trajectory(self):
+        """Full mapped-pose history as (q (N, 4), t (N, 3)) — one row per
+        *retired* mapping step, exactly the poses the reference's mapping
+        thread writes to RESULT_PATH (laserMapping.cpp:2284-2326).  Under
+        back-pressure drops there are fewer rows than input frames, like
+        the reference.  Waits for any in-flight step first."""
+        self._retire_mapping(wait=True)
+        if not self._map_trajectory:
+            return np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32)
+        return np.stack(self._map_quats), np.stack(self._map_trajectory)
 
     # -- map exports (the /laser_cloud_surround, /laser_cloud_map rviz
     #    surface, laserMapping.cpp:2171-2203) ---------------------------
@@ -317,12 +409,25 @@ def run_kitti(
     result_path: str,
     profile: str = "hdl64",
     max_frames: Optional[int] = None,
+    pose_source: str = "mapped",
 ):
     """KITTI sequence → trajectory file (the reference's RESULT_PATH
-    artifact, laserMapping.cpp:2284-2326)."""
-    from light_loam_tpu.io.kitti import KittiPoseWriter, KittiSequence
-    from light_loam_tpu.utils.synthetic import pad_cloud
+    artifact, laserMapping.cpp:2284-2326).
 
+    ``pose_source``:
+      * "mapped" (default, reference-faithful): one row per *retired*
+        mapping step, written from the mapping thread's own poses like
+        laserMapping.cpp:2284-2326 — under back-pressure drops the file
+        has fewer rows than input frames, exactly like the reference;
+      * "high_freq": one row per input frame from the low-latency
+        composed pose (the /aft_mapped_to_init_high_frec analog,
+        laserMapping.cpp:168-247) — denser but odometry-grade on frames
+        mapping dropped.
+    """
+    from light_loam_tpu.io.kitti import KittiPoseWriter, KittiSequence
+
+    if pose_source not in ("mapped", "high_freq"):
+        raise ValueError(f"unknown pose_source: {pose_source!r}")
     cfg = PROFILES[profile]
     pipe = Pipeline(cfg)
     seq = KittiSequence(dataset_folder, sequence)
@@ -333,11 +438,17 @@ def run_kitti(
         if count >= n:
             break
         res = pipe.process_frame(xyz, mask)
-        q, t = pipe.high_freq_pose(res.odom_q, res.odom_t)
-        R = np.asarray(quat.quat_to_matrix(jnp.asarray(q)))
-        writer.write(R, t)
+        if pose_source == "high_freq":
+            q, t = pipe.high_freq_pose(res.odom_q, res.odom_t)
+            R = np.asarray(quat.quat_to_matrix(jnp.asarray(q)))
+            writer.write(R, t)
         count += 1
     pipe._retire_mapping(wait=True)
+    if pose_source == "mapped":
+        qs, ts_ = pipe.mapped_trajectory()
+        for q, t in zip(qs, ts_):
+            R = np.asarray(quat.quat_to_matrix(jnp.asarray(q)))
+            writer.write(R, t)
     return pipe
 
 

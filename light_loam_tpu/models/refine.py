@@ -8,8 +8,8 @@ solver/schur.py.  This is the BASELINE north star's
 "distributed bundle-adjustment-style refinement": with keyframes sharded
 across a mesh, landmark blocks are psum-reduced and the pose-landmark
 couplings all-gathered, and every device solves the identical reduced
-6K×6K system (see ``refine_window(..., axis_name=...)`` used from
-parallel/sharded_refine).
+6K×6K system (``refine_window(..., axis_name=...)`` under shard_map —
+exercised in tests/test_refine.py's sharded-equivalence test).
 
 Landmarks are planes parameterized as (n̂, d) with a 3-dof tangent
 (2 in the normal's tangent basis + 1 offset), extracted from the map by

@@ -165,6 +165,51 @@ def simple_vote(
     return VoteResult(selected=selected, weight=weight, votes=votes)
 
 
+def run_vote(
+    mode: str,
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_regions: int,
+    chunk_capacity: int,
+    score_threshold: float = 0.96,
+    resolution: float = 1.0,
+    selected_ratio: float = 0.90,
+    low_vote_count: float = 50.0,
+    low_vote_weight: float = 5.0,
+    high_vote_weight: float = 1.0,
+    backend: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch to the configured vote kernel; returns (selected, weight).
+
+    Shared by the odometry stage (laserOdometry.cpp:796) and the mapping
+    stage's latent call sites (laserMapping.cpp:2057-2072), which run the
+    same kernels on scan-to-map correspondences."""
+    if mode == "off":
+        return valid, jnp.ones_like(src[:, 0])
+    if mode == "simple":
+        v = simple_vote(
+            src, tgt, valid,
+            n_regions=n_regions, chunk_capacity=chunk_capacity,
+            score_threshold=score_threshold,
+            resolution=resolution,
+            selected_ratio=selected_ratio,
+            low_vote_count=low_vote_count,
+            low_vote_weight=low_vote_weight,
+            high_vote_weight=high_vote_weight,
+            backend=backend,
+        )
+        return v.selected, v.weight
+    if mode == "full":
+        v = full_graph_vote(
+            src, tgt, valid,
+            n_regions=n_regions, chunk_capacity=chunk_capacity,
+            resolution=resolution,
+        )
+        return v.selected, v.score
+    raise ValueError(f"unknown vote mode: {mode}")
+
+
 class FullVoteResult(NamedTuple):
     selected: jnp.ndarray  # (Q,) bool
     score: jnp.ndarray     # (Q,) float reliability in [0, 1]

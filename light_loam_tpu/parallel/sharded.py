@@ -55,10 +55,12 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(devs[:n], (AXIS,))
 
 
-def shard_mapping_state(state: MappingState, mesh: Mesh) -> MappingState:
-    """Place the point stores sharded over the mesh (points dimension) and
-    re-assign each point to its owner device by cell hash."""
-    n = mesh.shape[AXIS]
+def redistribute_state(state: MappingState, n: int) -> MappingState:
+    """Re-pack both point stores so points land on their cell-hash owner's
+    contiguous slice (owner = cell % n, slice i covers
+    [i*cap/n, (i+1)*cap/n)).  Pure array computation — placement onto a
+    mesh happens separately (shard_mapping_state locally,
+    parallel.multihost.place_state_global across processes)."""
 
     def redistribute(store: MapStore, capacity: int) -> MapStore:
         # owner = cell % n; within each owner, pack points contiguously at
@@ -90,6 +92,13 @@ def shard_mapping_state(state: MappingState, mesh: Mesh) -> MappingState:
 
     corner = redistribute(state.corner, state.corner.xyz.shape[0])
     surf = redistribute(state.surf, state.surf.xyz.shape[0])
+    return state._replace(corner=corner, surf=surf)
+
+
+def shard_mapping_state(state: MappingState, mesh: Mesh) -> MappingState:
+    """Place the point stores sharded over the mesh (points dimension) and
+    re-assign each point to its owner device by cell hash."""
+    state = redistribute_state(state, mesh.shape[AXIS])
 
     shard_pts = NamedSharding(mesh, P(AXIS))
     shard_pts2 = NamedSharding(mesh, P(AXIS, None))
@@ -103,11 +112,12 @@ def shard_mapping_state(state: MappingState, mesh: Mesh) -> MappingState:
         )
 
     return MappingState(
-        corner=place(corner),
-        surf=place(surf),
+        corner=place(state.corner),
+        surf=place(state.surf),
         cen=jax.device_put(state.cen, repl),
         q_wm=jax.device_put(state.q_wm, repl),
         t_wm=jax.device_put(state.t_wm, repl),
+        frame=jax.device_put(state.frame, repl),
     )
 
 
@@ -155,14 +165,15 @@ def sharded_mapping_step(
 
     store_specs = MapStore(xyz=P(AXIS, None), cell=P(AXIS), mask=P(AXIS))
     state_specs = MappingState(
-        corner=store_specs, surf=store_specs, cen=P(), q_wm=P(), t_wm=P()
+        corner=store_specs, surf=store_specs, cen=P(), q_wm=P(), t_wm=P(),
+        frame=P(),
     )
     cloud_spec = PointCloud(xyz=P(), rel=P(), mask=P())
     out_specs = (
         state_specs,
         MappingOutput(
             q_w=P(), t_w=P(), corner_factors=P(), surf_factors=P(),
-            map_corner_points=P(), map_surf_points=P(),
+            map_corner_points=P(), map_surf_points=P(), local_overflow=P(),
         ),
     )
 
@@ -172,10 +183,10 @@ def sharded_mapping_step(
 
         corner_store, surf_store, cen, center = _recenter(state, t_w, cfg)
 
-        local_c_xyz, local_c_mask = _gather_local(
+        local_c_xyz, local_c_mask, ovf_c = _gather_local(
             corner_store, center, cfg, cfg.local_corner_capacity // n
         )
-        local_s_xyz, local_s_mask = _gather_local(
+        local_s_xyz, local_s_mask, ovf_s = _gather_local(
             surf_store, center, cfg, cfg.local_surf_capacity // n
         )
 
@@ -216,12 +227,38 @@ def sharded_mapping_step(
                 _slice_for_device(near_c, n),
                 cfg,
             )
-            pf = plane_fit_factors(
-                _slice_for_device(stack_s_xyz, n),
-                _slice_for_device(stack_s_mask & big_enough, n),
-                _slice_for_device(d_s, n),
-                _slice_for_device(near_s, n),
-                cfg,
+            # plane factors: fit replicated over the full stack so the
+            # scan-to-map vote (laserMapping.cpp:2057-2072) chunks
+            # identically to the single-device step, then slice
+            pf_full = plane_fit_factors(
+                stack_s_xyz, stack_s_mask & big_enough, d_s, near_s, cfg
+            )
+            if cfg.vote_mode != "off":
+                use_vote = state.frame > cfg.vote_start_frame
+                chunk_cap = (
+                    cfg.stack_surf_capacity // cfg.vote_regions
+                    + cfg.vote_regions
+                )
+                sel, w = graphvote.run_vote(
+                    cfg.vote_mode, stack_s_xyz, jnp.mean(near_s, axis=1),
+                    pf_full.mask,
+                    n_regions=cfg.vote_regions, chunk_capacity=chunk_cap,
+                    score_threshold=cfg.vote_score_threshold,
+                    resolution=cfg.vote_resolution,
+                    selected_ratio=cfg.vote_selected_ratio,
+                    low_vote_count=cfg.vote_low_vote_count,
+                    low_vote_weight=cfg.vote_low_vote_weight,
+                    high_vote_weight=cfg.vote_high_vote_weight,
+                    backend="xla",  # inside shard_map; keep the XLA path
+                )
+                pf_full = pf_full._replace(
+                    mask=pf_full.mask & jnp.where(use_vote, sel, True),
+                    weight=jnp.where(
+                        use_vote & cfg.vote_apply_weights, w, pf_full.weight
+                    ),
+                )
+            pf = jax.tree_util.tree_map(
+                lambda x: _slice_for_device(x, n), pf_full
             )
             q_w, t_w, _cost = lm_solve(
                 q_w, t_w, FactorSet(edge=ef, plane_norm=pf),
@@ -268,7 +305,7 @@ def sharded_mapping_step(
 
         new_state = MappingState(
             corner=corner_store, surf=surf_store, cen=cen,
-            q_wm=q_wm, t_wm=t_wm,
+            q_wm=q_wm, t_wm=t_wm, frame=state.frame + 1,
         )
         out = MappingOutput(
             q_w=q_w, t_w=t_w,
@@ -279,6 +316,7 @@ def sharded_mapping_step(
             map_surf_points=jax.lax.psum(
                 jnp.sum(surf_store.mask.astype(jnp.int32)), AXIS
             ),
+            local_overflow=jax.lax.psum(ovf_c + ovf_s, AXIS),
         )
         return new_state, out
 

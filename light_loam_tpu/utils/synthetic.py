@@ -148,6 +148,8 @@ def simulate_scan(
     noise: float = 0.0,
     seed: int = 0,
     azimuth_jitter: bool = True,
+    sweep_motion: np.ndarray | None = None,
+    motion_segments: int = 24,
 ) -> np.ndarray:
     """Return (N, 3) float32 points in the sensor frame, sweep-ordered.
 
@@ -155,11 +157,26 @@ def simulate_scan(
     without it every frame samples the world at identical ray angles,
     which creates correlated discretization bias that real spinning
     sensors do not have.
+
+    ``sweep_motion``: world-frame displacement (3,) of the sensor over ONE
+    full sweep — models the intra-sweep motion ("rolling shutter") that
+    the reference's TransformToStart undistortion hook compensates
+    (laserOdometry.cpp:77-95, DISTORTION flag at :23).  Each return is
+    expressed relative to the sensor's *instantaneous* position, like a
+    real spinning head; ``sensor_pos`` is the sweep-START position.  The
+    motion is staircase-approximated over ``motion_segments`` azimuth
+    blocks (exact per-column origins would loop Python over every column).
     """
     rng = np.random.default_rng(seed)
     vert = np.deg2rad(np.linspace(lower_deg, upper_deg, n_rings))
     phase = rng.uniform(0, 2 * np.pi / n_azimuth) if azimuth_jitter else 0.0
-    azim = phase + np.linspace(0.0, 2.0 * np.pi, n_azimuth, endpoint=False)
+    # clockwise sweep (azimuth decreasing): a real Velodyne rotates so
+    # that ori = -atan2(y, x) INCREASES over the sweep — the convention
+    # the reference's start/end unwrap assumes (scanRegistration.cpp:
+    # 114-126).  With the opposite direction the halfPassed logic
+    # mis-unwraps and relTime (hence the undistortion fraction s) is
+    # garbage; harmless at DISTORTION 0, fatal with the hook on.
+    azim = phase - np.linspace(0.0, 2.0 * np.pi, n_azimuth, endpoint=False)
 
     ca, sa = np.cos(azim), np.sin(azim)
     cv, sv = np.cos(vert), np.sin(vert)
@@ -172,13 +189,30 @@ def simulate_scan(
     cy, sy = np.cos(sensor_yaw), np.sin(sensor_yaw)
     Rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
     dirs_w = dirs @ Rz.T
-    o = np.asarray(sensor_pos, dtype=np.float64)
+    o0 = np.asarray(sensor_pos, dtype=np.float64)
 
-    t = _ray_ground(o, dirs_w, world.ground_z)
-    for box in world.boxes:
-        t = np.minimum(t, _ray_box(o, dirs_w, box))
-    for pole in world.poles:
-        t = np.minimum(t, _ray_pole(o, dirs_w, pole))
+    def trace(o, dw):
+        t = _ray_ground(o, dw, world.ground_z)
+        for box in world.boxes:
+            t = np.minimum(t, _ray_box(o, dw, box))
+        for pole in world.poles:
+            t = np.minimum(t, _ray_pole(o, dw, pole))
+        return t
+
+    if sweep_motion is None:
+        t = trace(o0, dirs_w)
+    else:
+        motion = np.asarray(sweep_motion, dtype=np.float64)
+        per_ring = n_rings
+        t = np.empty(len(dirs_w))
+        bounds = np.linspace(0, n_azimuth, motion_segments + 1).astype(int)
+        for si in range(motion_segments):
+            a0, a1 = bounds[si], bounds[si + 1]
+            if a1 <= a0:
+                continue
+            frac = (a0 + a1) / 2.0 / n_azimuth
+            sl = slice(a0 * per_ring, a1 * per_ring)
+            t[sl] = trace(o0 + frac * motion, dirs_w[sl])
 
     hit = np.isfinite(t) & (t <= max_range) & (t >= 0.5)
     t = np.where(hit, t, np.nan)

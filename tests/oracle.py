@@ -1,9 +1,18 @@
-"""NumPy oracle implementing the reference scan-registration semantics.
+"""NumPy oracles implementing the reference semantics.
 
-A direct, readable re-expression of src/scanRegistration.cpp:87-368 used as
-the ground truth for pick-for-pick validation of the vectorized TPU kernel.
-Works on compacted clouds like the C++ (no padding), sequential greedy
-selection included.
+* scan-registration oracle: a direct, readable re-expression of
+  src/scanRegistration.cpp:87-368 used as the ground truth for
+  pick-for-pick validation of the vectorized TPU kernel.  Works on
+  compacted clouds like the C++ (no padding), sequential greedy selection
+  included.
+
+* whole-frame odometry oracle: an independent float64 port of the full
+  scan-to-scan step (src/laserOdometry.cpp:439-831) — correspondence
+  search, graph vote, robust solve, pose integration — used to gate the
+  *integrated* semantics of models.odometry.odometry_step (interaction of
+  compaction order × vote chunk boundaries × re-association), not just the
+  already-unit-tested kernels.  Jacobians come from finite differences so
+  the oracle shares no code with solver/residuals.py.
 """
 
 from __future__ import annotations
@@ -161,3 +170,253 @@ def oracle_features(pts, n_scans, min_range=5.0, lower=-24.9, upper=2.0):
         flat=flat,
         less_flat=less_flat,
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-frame odometry oracle (laserOdometry.cpp:439-831), float64 NumPy.
+# ---------------------------------------------------------------------------
+
+def _q_mul(a, b):
+    """Hamilton product, xyzw layout."""
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def _q_exp(v):
+    """Exponential map: 3-vector tangent -> unit quaternion (xyzw)."""
+    th = np.linalg.norm(v)
+    if th < 1e-12:
+        return np.array([v[0] / 2, v[1] / 2, v[2] / 2, 1.0]) / np.sqrt(
+            1.0 + th * th / 4.0
+        )
+    u = v / th
+    s = np.sin(th / 2.0)
+    return np.array([u[0] * s, u[1] * s, u[2] * s, np.cos(th / 2.0)])
+
+
+def _q_rot(q, p):
+    """Rotate (N,3) points by quaternion q (xyzw)."""
+    x, y, z, w = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    return p @ R.T
+
+
+def _oracle_corner_matches(q_sel, ref_xyz, ref_ring, dist_sq=25.0, nearby=2.5):
+    """Vectorized ring-set corner search: 1-NN + nearest cross-ring point
+    within NEARBY_SCAN (laserOdometry.cpp:491-554; the ring-set form is
+    equivalent to the reference's array scans on a ring-sorted cloud —
+    proven pointwise in test_matching.py)."""
+    d = np.sum((q_sel[:, None, :] - ref_xyz[None, :, :]) ** 2, axis=-1)
+    a = np.argmin(d, axis=1)
+    d1 = d[np.arange(len(q_sel)), a]
+    ring_a = ref_ring[a]
+    diff = ref_ring[None, :] - ring_a[:, None]
+    win = (diff != 0) & (np.abs(diff) <= nearby)
+    dw = np.where(win, d, np.inf)
+    b = np.argmin(dw, axis=1)
+    d2 = dw[np.arange(len(q_sel)), b]
+    valid = (d1 < dist_sq) & (d2 < dist_sq)
+    return a, b, valid
+
+
+def _oracle_surf_matches(q_sel, ref_xyz, ref_ring, dist_sq=25.0, nearby=2.5):
+    """1-NN + same-ring 2nd + cross-ring 3rd (laserOdometry.cpp:653-737)."""
+    d = np.sum((q_sel[:, None, :] - ref_xyz[None, :, :]) ** 2, axis=-1)
+    a = np.argmin(d, axis=1)
+    idx = np.arange(len(q_sel))
+    d1 = d[idx, a]
+    ring_a = ref_ring[a]
+    diff = ref_ring[None, :] - ring_a[:, None]
+    same = diff == 0
+    same[idx, a] = False
+    adj = (diff != 0) & (np.abs(diff) <= nearby)
+    ds = np.where(same, d, np.inf)
+    da = np.where(adj, d, np.inf)
+    b = np.argmin(ds, axis=1)
+    c = np.argmin(da, axis=1)
+    valid = (d1 < dist_sq) & (ds[idx, b] < dist_sq) & (da[idx, c] < dist_sq)
+    return a, b, c, valid
+
+
+def _huber(s2, delta=0.1):
+    d2 = delta * delta
+    small = s2 <= d2
+    sq = np.sqrt(np.maximum(s2, 1e-24))
+    rho = np.where(small, s2, 2.0 * delta * sq - d2)
+    drho = np.where(small, 1.0, delta / sq)
+    return rho, drho
+
+
+def _oracle_lm(q0, t0, resid_fn, n_iterations=4, delta=0.1,
+               lambda_init=1e-4, fd_eps=1e-6):
+    """LM with Huber IRLS on the right tangent, finite-difference
+    Jacobians.  Mirrors the semantics of solver.gauss_newton.lm_solve
+    (damped normal equations, accept/reject, lambda /3 x4) while sharing
+    no code with it."""
+
+    def blocks_at(q, t):
+        return resid_fn(q, t)  # list of (N_i, D_i) arrays
+
+    def cost_of(blocks):
+        c = 0.0
+        for r in blocks:
+            if len(r) == 0:
+                continue
+            rho, _ = _huber(np.sum(r * r, axis=-1), delta)
+            c += 0.5 * np.sum(rho)
+        return c
+
+    def perturb(q, t, k, h):
+        v = np.zeros(6)
+        v[k] = h
+        return _q_mul(q, _q_exp(v[:3])), t + v[3:]
+
+    q, t = q0.copy(), t0.copy()
+    base = blocks_at(q, t)
+    n_active = sum(len(r) for r in base)
+    if n_active < 1:
+        return q, t
+    cost = cost_of(base)
+    lam = lambda_init
+    for _ in range(n_iterations):
+        base = blocks_at(q, t)
+        Js = [[] for _ in base]
+        for k in range(6):
+            qp, tp = perturb(q, t, k, fd_eps)
+            pert = blocks_at(qp, tp)
+            for bi, (r0, r1) in enumerate(zip(base, pert)):
+                Js[bi].append((r1 - r0) / fd_eps)
+        H = np.zeros((6, 6))
+        g = np.zeros(6)
+        for r0, Jcols in zip(base, Js):
+            if len(r0) == 0:
+                continue
+            J = np.stack(Jcols, axis=-1)  # (N, D, 6)
+            _, w = _huber(np.sum(r0 * r0, axis=-1), delta)
+            Jw = J * w[:, None, None]
+            H += np.einsum("nid,nie->de", Jw, J)
+            g += np.einsum("nid,ni->d", Jw, r0)
+        damped = H + lam * np.diag(np.diag(H)) + 1e-9 * np.eye(6)
+        step = -np.linalg.solve(damped, g)
+        q_new = _q_mul(q, _q_exp(step[:3]))
+        q_new = q_new / np.linalg.norm(q_new)
+        t_new = t + step[3:]
+        new_cost = cost_of(blocks_at(q_new, t_new))
+        if new_cost < cost:
+            q, t, cost = q_new, t_new, new_cost
+            lam /= 3.0
+        else:
+            lam *= 4.0
+    return q, t
+
+
+def literal_simple_vote(src, tgt, n_regions, threshold=0.96, resolution=1.0):
+    """Returns (selected_index_list, weights) like the reference's
+    selected_idx vector — walking votes ascending, break above 0.9k."""
+    n = len(src)
+    selected = {}
+    for c in range(n_regions):
+        lo = n // n_regions * c
+        hi = n if c == n_regions - 1 else n // n_regions * (c + 1)
+        k = hi - lo
+        if k <= 0:
+            continue
+        votes = np.zeros(k)
+        for i in range(k):
+            for j in range(i + 1, k):
+                s1 = np.linalg.norm(src[lo + i] - src[lo + j])
+                s2 = np.linalg.norm(tgt[lo + i] - tgt[lo + j])
+                gap = abs(s1 - s2)
+                score = np.exp(-(gap * gap) / (resolution * resolution))
+                if score < threshold:
+                    votes[i] += 1
+                    votes[j] += 1
+        order = np.argsort(-votes, kind="stable")  # descending
+        num_selected = 0.9 * k
+        for i in range(k - 1, -1, -1):  # ascending votes
+            idx = order[i]
+            if votes[idx] > num_selected:
+                break
+            w = 5.0 if votes[idx] <= 50 else 1.0
+            selected[lo + idx] = (w, votes[idx])
+    return selected
+
+
+def oracle_odometry_frame(
+    corner_last_xyz, corner_last_ring,
+    surf_last_xyz, surf_last_ring,
+    sharp_xyz, flat_xyz,
+    q_lc, t_lc, frame,
+    outer_iterations=3, inner_iterations=4,
+    vote_start_frame=5, plane_vote_regions=10,
+):
+    """One whole odometry frame (laserOdometry.cpp:439-831): per outer
+    iteration re-associate correspondences with the current increment,
+    vote-gate planes after vote_start_frame, run the robust solve; returns
+    the refined (q_lc, t_lc) increment.  All clouds are compacted float64
+    arrays in the padded-array order the kernels see (valid slots in array
+    order), so vote chunk boundaries line up with the kernel's."""
+    q = np.asarray(q_lc, np.float64).copy()
+    t = np.asarray(t_lc, np.float64).copy()
+    use_vote = frame > vote_start_frame
+
+    for _ in range(outer_iterations):
+        sharp_sel = _q_rot(q, sharp_xyz) + t
+        flat_sel = _q_rot(q, flat_xyz) + t
+
+        ca, cb, cv = _oracle_corner_matches(
+            sharp_sel, corner_last_xyz, corner_last_ring
+        )
+        sa, sb, sc, sv = _oracle_surf_matches(
+            flat_sel, surf_last_xyz, surf_last_ring
+        )
+
+        # edge factors: ALL valid corner matches, unweighted (ref:615-617)
+        e_cp = sharp_xyz[cv]
+        e_a = corner_last_xyz[ca[cv]]
+        e_b = corner_last_xyz[cb[cv]]
+
+        # plane factors: vote-gated after vote_start_frame (ref:781-810)
+        p_cp = flat_xyz[sv]
+        p_j = surf_last_xyz[sa[sv]]
+        p_l = surf_last_xyz[sb[sv]]
+        p_m = surf_last_xyz[sc[sv]]
+        if use_vote:
+            sel = literal_simple_vote(
+                flat_xyz[sv], surf_last_xyz[sa[sv]], plane_vote_regions
+            )
+            keep = np.array([i in sel for i in range(sv.sum())], bool)
+            w = np.array([sel[i][0] if i in sel else 0.0
+                          for i in range(sv.sum())])
+            p_cp, p_j, p_l, p_m = p_cp[keep], p_j[keep], p_l[keep], p_m[keep]
+            p_w = w[keep]
+        else:
+            p_w = np.ones(len(p_cp))
+
+        n = np.cross(p_j - p_l, p_j - p_m)
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+        def resid(qq, tt):
+            pe = _q_rot(qq, e_cp) + tt
+            de = e_a - e_b
+            inv = 1.0 / np.maximum(
+                np.linalg.norm(de, axis=-1, keepdims=True), 1e-12
+            )
+            r_edge = np.cross(pe - e_a, pe - e_b) * inv
+            pp = _q_rot(qq, p_cp) + tt
+            r_plane = (np.sum((pp - p_j) * n, axis=-1) * p_w)[:, None]
+            return [r_edge, r_plane]
+
+        q, t = _oracle_lm(q, t, resid, n_iterations=inner_iterations)
+
+    return q, t

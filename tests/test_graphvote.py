@@ -6,37 +6,7 @@ import jax.numpy as jnp
 
 from light_loam_tpu.ops import graphvote as gv
 
-
-def literal_simple_vote(src, tgt, n_regions, threshold=0.96, resolution=1.0):
-    """Returns (selected_index_list, weights) like the reference's
-    selected_idx vector — walking votes ascending, break above 0.9k."""
-    n = len(src)
-    selected = {}
-    for c in range(n_regions):
-        lo = n // n_regions * c
-        hi = n if c == n_regions - 1 else n // n_regions * (c + 1)
-        k = hi - lo
-        if k <= 0:
-            continue
-        votes = np.zeros(k)
-        for i in range(k):
-            for j in range(i + 1, k):
-                s1 = np.linalg.norm(src[lo + i] - src[lo + j])
-                s2 = np.linalg.norm(tgt[lo + i] - tgt[lo + j])
-                gap = abs(s1 - s2)
-                score = np.exp(-(gap * gap) / (resolution * resolution))
-                if score < threshold:
-                    votes[i] += 1
-                    votes[j] += 1
-        order = np.argsort(-votes, kind="stable")  # descending
-        num_selected = 0.9 * k
-        for i in range(k - 1, -1, -1):  # ascending votes
-            idx = order[i]
-            if votes[idx] > num_selected:
-                break
-            w = 5.0 if votes[idx] <= 50 else 1.0
-            selected[lo + idx] = (w, votes[idx])
-    return selected
+from oracle import literal_simple_vote
 
 
 def test_simple_vote_matches_literal():

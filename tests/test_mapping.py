@@ -111,6 +111,150 @@ def test_mapping_map_grows_and_dedups(map_world):
     assert counts[2] < counts[0] * 3
 
 
+def _wall_outlier_points(world, n, rng, snap=1.8):
+    """Points floating ``snap`` m off the faces of the close-in boxes:
+    they pass the (widened) 5-NN gate and the plane-fit gate — the gates
+    check the *neighbours*' planarity, not the query point — but their
+    matched 5-NN centroid sits on the wall, a horizontal multi-metre
+    association snap the vote's pairwise-distance test can see."""
+    pts = []
+    boxes = world.boxes[-3:]
+    normals = [np.array([1.0, 0, 0]), np.array([-1.0, 0, 0]),
+               np.array([0, 1.0, 0]), np.array([0, -1.0, 0])]
+    for _ in range(n):
+        b = boxes[rng.integers(0, 3)]
+        c, s = np.cos(b.yaw), np.sin(b.yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        nrm = normals[rng.integers(0, 4)]
+        p_local = b.half * nrm + nrm * snap
+        tang = rng.uniform(-0.8, 0.8, 2)
+        if abs(nrm[0]) > 0:
+            p_local += np.array([0, tang[0] * b.half[1], tang[1] * b.half[2]])
+        else:
+            p_local += np.array([tang[0] * b.half[0], 0, tang[1] * b.half[2]])
+        pts.append(b.center + R @ p_local)
+    return np.asarray(pts, np.float32)
+
+
+def test_mapping_vote_filters_association_outliers(map_world):
+    """Scan-to-map graph vote (the latent laserMapping.cpp:2057-2072 path):
+    injected points whose nearest-map association snaps ~2 m sideways must
+    be rejected at a much higher rate than true surface points, and the
+    wired mapping_step must show the reduced factor count."""
+    import dataclasses
+
+    from light_loam_tpu.models.mapping import (
+        _gather_local, _recenter, plane_fit_factors,
+    )
+    from light_loam_tpu.ops import graphvote, knn
+    from light_loam_tpu.ops.voxel import voxel_downsample
+
+    # widened 5-NN gate lets the snapped associations through (the default
+    # 1 m² gate would mask the outliers before the vote can see them);
+    # finer map leaf keeps the inlier centroids tight
+    cfg = dataclasses.replace(
+        CFG, knn_sq_gate=9.0, plane_resolution=0.4,
+        vote_mode="simple", vote_start_frame=0,
+    )
+    cfg_off = dataclasses.replace(cfg, vote_mode="off")
+
+    def build(cfg):
+        state = MappingState.init(cfg)
+        pts0 = simulate_scan(map_world, np.zeros(3), n_azimuth=1100,
+                             noise=0.005, seed=21)
+        c0, s0 = features_from_scan(pts0, np.random.default_rng(7))
+        state, _ = mapping_step(state, c0, s0, quat.quat_identity(),
+                                jnp.zeros(3), cfg)
+        true_t = np.array([0.4, 0.0, 0.0], np.float32)
+        pts1 = simulate_scan(map_world, true_t.astype(float), n_azimuth=1100,
+                             noise=0.005, seed=22)
+        c1, s1 = features_from_scan(pts1, np.random.default_rng(8))
+        xyz = np.asarray(s1.xyz).copy()
+        n_valid = int(np.asarray(s1.mask).sum())
+        rng = np.random.default_rng(9)
+        slots = rng.choice(n_valid, size=n_valid // 12, replace=False)
+        xyz[slots] = _wall_outlier_points(map_world, len(slots), rng) - true_t
+        s1 = PointCloud(xyz=jnp.asarray(xyz), rel=s1.rel, mask=s1.mask)
+        return state, c1, s1, true_t, xyz[slots]
+
+    # wiring check through mapping_step itself: vote mode must shrink the
+    # factor count used by the solve
+    state, c1, s1, true_t, out_pts = build(cfg_off)
+    _, out_off = mapping_step(state, c1, s1, quat.quat_identity(),
+                              jnp.asarray(true_t), cfg_off)
+    state, c1, s1, true_t, out_pts = build(cfg)
+    _, out_vote = mapping_step(state, c1, s1, quat.quat_identity(),
+                               jnp.asarray(true_t), cfg)
+    assert int(out_vote.surf_factors) < int(out_off.surf_factors) - 20
+
+    # per-point discrimination: replicate the step's association to label
+    # each factor as injected-outlier vs true surface point
+    q_w, t_w = quat.quat_identity(), jnp.asarray(true_t)
+    _, surf_store, cen, center = _recenter(state, t_w, cfg)
+    ls_xyz, ls_mask, _ = _gather_local(
+        surf_store, center, cfg, cfg.local_surf_capacity
+    )
+    st_xyz, _, st_mask, _ = voxel_downsample(
+        s1.xyz, s1.rel, s1.mask, cfg.plane_resolution,
+        cfg.stack_surf_capacity,
+    )
+    st = np.asarray(st_xyz)
+    d2out = np.min(
+        np.sum((st[:, None, :] - out_pts[None, :, :]) ** 2, axis=-1), axis=1
+    )
+    is_out = (d2out < 0.09) & np.asarray(st_mask)
+    p_sel = quat.quat_rotate(q_w[None, :], st_xyz) + t_w[None, :]
+    d, idx = knn.knn_tiled(p_sel, ls_xyz, ls_mask, k=cfg.knn_k,
+                           tile=cfg.knn_tile)
+    near = ls_xyz[idx]
+    pf = plane_fit_factors(st_xyz, st_mask, d, near, cfg)
+    pm = np.asarray(pf.mask)
+    chunk_cap = cfg.stack_surf_capacity // cfg.vote_regions + cfg.vote_regions
+    sel, _w = graphvote.run_vote(
+        "simple", st_xyz, jnp.mean(near, axis=1), pf.mask,
+        n_regions=cfg.vote_regions, chunk_capacity=chunk_cap,
+    )
+    sel = np.asarray(sel)
+    n_out, n_in = (pm & is_out).sum(), (pm & ~is_out).sum()
+    assert n_out > 50, "scenario failed to produce outlier factors"
+    kept_out = (sel & pm & is_out).sum() / n_out
+    kept_in = (sel & pm & ~is_out).sum() / n_in
+    # outliers must be rejected at a clearly higher rate than inliers
+    assert kept_in > 0.85, kept_in
+    assert kept_out < kept_in - 0.15, (kept_out, kept_in)
+
+
+def test_mapping_vote_start_frame_gates():
+    """Before vote_start_frame the vote must be inert: identical factor
+    counts and pose to vote_mode='off'."""
+    import dataclasses
+
+    w = World.urban(seed=9)
+    gated = dataclasses.replace(CFG, vote_mode="simple", vote_start_frame=10)
+
+    def run(cfg):
+        state = MappingState.init(cfg)
+        outs = []
+        for k in range(2):
+            pts = simulate_scan(w, np.array([0.3 * k, 0.0, 0.0]),
+                                n_azimuth=700, noise=0.005, seed=31 + k)
+            c, s = features_from_scan(pts, np.random.default_rng(4))
+            state, out = mapping_step(
+                state, c, s, quat.quat_identity(),
+                jnp.asarray(np.array([0.3 * k, 0, 0], np.float32)), cfg,
+            )
+            outs.append(out)
+        return outs
+
+    outs_off = run(CFG)
+    outs_gated = run(gated)
+    for a, b in zip(outs_off, outs_gated):
+        assert int(a.surf_factors) == int(b.surf_factors)
+        np.testing.assert_allclose(
+            np.asarray(a.t_w), np.asarray(b.t_w), atol=1e-7
+        )
+
+
 def test_recenter_shifts_cells():
     cfg = CFG
     state = MappingState.init(cfg)
