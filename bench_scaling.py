@@ -5,15 +5,23 @@ Measures the two distribution axes of the framework (SURVEY.md §2.7):
   * WEAK scaling, data-parallel batched SLAM (parallel/batch_sharded.py):
     B lanes per device, lanes sharded over a 1-D mesh — zero collectives,
     the throughput mode.  efficiency(n) = fps(n) / (n · fps(1)).
-  * STRONG scaling, cell-hash-sharded mapping (parallel/sharded.py):
+  * STRONG scaling, voxel-hash-sharded mapping (parallel/sharded.py):
     one fixed-size scan-to-map step split over n devices — all_gather'd
     k-NN candidates + psum'd Gauss-Newton.  efficiency(n) = t1 / (n·tn).
 
 Default runs on the virtual CPU mesh (xla_force_host_platform_device_count
 = 8) — the same-code proxy for a TPU slice (SURVEY §4).  IMPORTANT caveat
 recorded in the artifact: the N virtual devices share os.cpu_count()
-physical cores, so wall-clock efficiency beyond n = cores is bounded by
-core contention, not by the sharded program.  On a real slice
+physical cores, so raw wall-clock efficiency beyond n = cores measures
+core contention, not the sharded program.
+
+--pinned fixes that: the harness re-execs itself under ``taskset -c 0``
+(one physical core), making total compute a fixed resource.  Then the
+ideal times are exactly computable — weak scaling with n× the work should
+take n·t1 (efficiency = n·t1/tn); strong scaling with fixed work split n
+ways should take t1 (efficiency = t1/tn) — and the measured deficit is
+precisely the partition + collective overhead the sharding adds, i.e. the
+only quantity a virtual mesh can legitimately measure.  On a real slice
 (--real with >1 device) the same code measures true ICI scaling.
 """
 
@@ -22,6 +30,13 @@ import json
 import os
 import sys
 import time
+
+# --pinned: re-exec the whole process on one core BEFORE jax spins up its
+# thread pools, so every measurement below shares a single fixed compute
+# resource and the ideal-time formulas in the module docstring hold.
+if "--pinned" in sys.argv and os.environ.get("_LLT_PINNED") != "1":
+    os.environ["_LLT_PINNED"] = "1"
+    os.execvp("taskset", ["taskset", "-c", "0", sys.executable] + sys.argv)
 
 # env must be set before jax initializes a backend (CLAUDE.md: the axon
 # plugin is pinned via sitecustomize; CPU needs env + config override)
@@ -45,7 +60,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def weak_scaling_batched(cfg, device_counts, lanes_per_device, n_steps):
+def weak_scaling_batched(cfg, device_counts, lanes_per_device, n_steps,
+                         pinned=False):
     from light_loam_tpu.parallel.batch_sharded import (
         init_sharded_batch_state,
         make_data_mesh,
@@ -83,13 +99,18 @@ def weak_scaling_batched(cfg, device_counts, lanes_per_device, n_steps):
             f"({1000*dt/n_steps:.1f} ms/step)")
     base = rows[0]
     for r in rows:
-        r["efficiency"] = round(
-            r["fps"] / (r["devices"] / base["devices"] * base["fps"]), 4
-        )
+        if pinned:
+            # fixed 1-core compute: ideal aggregate fps is flat; any drop
+            # below fps(1) is sharding overhead
+            r["efficiency"] = round(r["fps"] / base["fps"], 4)
+        else:
+            r["efficiency"] = round(
+                r["fps"] / (r["devices"] / base["devices"] * base["fps"]), 4
+            )
     return rows
 
 
-def strong_scaling_mapping(cfg, device_counts, n_steps):
+def strong_scaling_mapping(cfg, device_counts, n_steps, pinned=False):
     from light_loam_tpu.core.frame import PointCloud
     from light_loam_tpu.core import quaternion as quat
     from light_loam_tpu.models.mapping import MappingState, mapping_step
@@ -121,7 +142,7 @@ def strong_scaling_mapping(cfg, device_counts, n_steps):
     rows = []
     for n in device_counts:
         mesh = make_mesh(n)
-        state = shard_mapping_state(MappingState.init(mcfg), mesh)
+        state = shard_mapping_state(MappingState.init(mcfg), mesh, mcfg)
         # seed the map with one step so the solve path is active
         state, _ = sharded_mapping_step(
             state, corner, surf, quat.quat_identity(), jnp.zeros(3),
@@ -145,7 +166,12 @@ def strong_scaling_mapping(cfg, device_counts, n_steps):
     t1 = rows[0]["step_ms"]
     for r in rows:
         r["speedup"] = round(t1 / r["step_ms"], 4)
-        r["efficiency"] = round(t1 / (r["devices"] * r["step_ms"]), 4)
+        if pinned:
+            # fixed 1-core compute: splitting fixed work n ways should be
+            # wall-neutral; slowdown vs t1 is partition+collective overhead
+            r["efficiency"] = round(t1 / r["step_ms"], 4)
+        else:
+            r["efficiency"] = round(t1 / (r["devices"] * r["step_ms"]), 4)
     return rows
 
 
@@ -153,6 +179,9 @@ def main():
     ap = argparse.ArgumentParser(description="multi-device scaling harness")
     ap.add_argument("--real", action="store_true",
                     help="use the real backend instead of the virtual CPU mesh")
+    ap.add_argument("--pinned", action="store_true",
+                    help="pin to one core; efficiency = sharding overhead "
+                         "(see module docstring)")
     ap.add_argument("--devices", default=None,
                     help="comma list of device counts (default: 1,2,4,..,N)")
     ap.add_argument("--lanes-per-device", type=int, default=2)
@@ -178,23 +207,36 @@ def main():
         raise SystemExit(f"no usable device counts (devices={n_dev})")
     log(f"platform={jax.default_backend()} devices={n_dev} counts={counts}")
 
-    weak = weak_scaling_batched(cfg, counts, args.lanes_per_device, args.steps)
-    strong = strong_scaling_mapping(cfg, counts, args.steps)
+    weak = weak_scaling_batched(cfg, counts, args.lanes_per_device,
+                                args.steps, pinned=args.pinned)
+    strong = strong_scaling_mapping(cfg, counts, args.steps,
+                                    pinned=args.pinned)
 
+    if args.pinned:
+        note = (
+            "pinned 1-core proxy: total compute fixed via taskset, so the "
+            "ideal times are exact (weak: n*t1, strong: t1) and efficiency "
+            "isolates the partition+collective overhead the sharding adds "
+            "— the only quantity a virtual mesh can measure; true ICI "
+            "scaling needs a real slice (--real)."
+        )
+    else:
+        note = (
+            "virtual CPU mesh proxy: N virtual devices share "
+            f"{os.cpu_count()} physical cores, so wall-clock efficiency "
+            "beyond n=cores is bounded by core contention, not by the "
+            "sharded program; use --pinned for the overhead-isolating "
+            "methodology, --real for a real slice."
+        )
     result = {
         "platform": jax.default_backend(),
         "host_cores": os.cpu_count(),
+        "pinned": args.pinned,
         "n_devices": n_dev,
         "profile": args.profile,
         "weak_scaling_batched": weak,
         "strong_scaling_mapping": strong,
-        "note": (
-            "virtual CPU mesh proxy: N virtual devices share "
-            f"{os.cpu_count()} physical cores, so wall-clock efficiency "
-            "beyond n=cores is bounded by core contention, not by the "
-            "sharded program; the same code path measures true ICI "
-            "scaling on a real slice (--real)."
-        ),
+        "note": note,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from light_loam_tpu.config import MappingConfig
 from light_loam_tpu.core.frame import PointCloud
 from light_loam_tpu.models.mapping import MapStore, MappingState
 from light_loam_tpu.parallel.sharded import AXIS, redistribute_state
@@ -43,11 +44,13 @@ def to_global(x, spec: P, mesh: Mesh):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
-def place_state_global(state: MappingState, mesh: Mesh) -> MappingState:
-    """Multi-process analog of shard_mapping_state: cell-hash
+def place_state_global(
+    state: MappingState, mesh: Mesh, cfg: MappingConfig
+) -> MappingState:
+    """Multi-process analog of shard_mapping_state: voxel-hash
     redistribution (pure compute, identical on every process) + global
     array assembly."""
-    state = redistribute_state(state, mesh.shape[AXIS])
+    state = redistribute_state(state, mesh.shape[AXIS], cfg)
 
     def place(store: MapStore) -> MapStore:
         return MapStore(

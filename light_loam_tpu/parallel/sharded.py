@@ -3,10 +3,19 @@
 The reference's only distribution mechanism is ROS pub/sub between four
 processes (SURVEY.md §2.7).  The TPU-native scaling axis is *spatial map
 sharding* (BASELINE.json north star): the cube map's point stores are
-partitioned across devices by **cell hash** (cell_id mod n_devices), so
+partitioned across devices by **dedup-voxel hash** — each point's owner is
+a spatial hash of its absolute leaf-voxel coordinates (the same
+world-anchored lattice ops/voxel.py dedups on), so
 
-  * voxel dedup stays purely local (a voxel lives in exactly one cell,
-    a cell on exactly one device);
+  * voxel dedup stays purely local (all points of one dedup voxel share
+    one owner by construction);
+  * load balances over thousands of fine voxels.  (Hashing the 50 m cube
+    CELL id instead — the first design — skews whole heavy cells onto one
+    device: a single cell near the trajectory can exceed the per-shard
+    capacity slice and silently drop points the single-chip store keeps,
+    measured as a 2%+ map-content gap at 8 devices);
+  * ownership is recenter-invariant: _recenter shifts cell IDS only,
+    never coordinates, so no point migrates on recenter;
   * the 5×5×3 local-map gather is local filtering;
   * k-NN runs as local-shard top-k followed by one all_gather of the
     (Q, k) candidate sets and a replicated merge — candidates ride ICI,
@@ -55,18 +64,33 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(devs[:n], (AXIS,))
 
 
-def redistribute_state(state: MappingState, n: int) -> MappingState:
-    """Re-pack both point stores so points land on their cell-hash owner's
-    contiguous slice (owner = cell % n, slice i covers
-    [i*cap/n, (i+1)*cap/n)).  Pure array computation — placement onto a
-    mesh happens separately (shard_mapping_state locally,
-    parallel.multihost.place_state_global across processes)."""
+def voxel_owner(xyz: jnp.ndarray, leaf: float, n: int) -> jnp.ndarray:
+    """Shard owner of each point: spatial hash of its absolute dedup-voxel
+    coordinates (same world-anchored floor(xyz/leaf) lattice ops/voxel.py
+    keys on, so every point of one dedup voxel maps to one owner).  The
+    classic 3-prime spatial hash spreads adjacent voxels across devices.
+    """
+    ijk = jnp.floor(xyz / leaf).astype(jnp.int32)
+    h = (ijk[..., 0] * 73856093) ^ (ijk[..., 1] * 19349663) ^ (
+        ijk[..., 2] * 83492791
+    )
+    return (h & 0x7FFFFFFF) % n
 
-    def redistribute(store: MapStore, capacity: int) -> MapStore:
-        # owner = cell % n; within each owner, pack points contiguously at
-        # slot owner*cap_shard + rank.
+
+def redistribute_state(
+    state: MappingState, n: int, cfg: MappingConfig
+) -> MappingState:
+    """Re-pack both point stores so points land on their voxel-hash
+    owner's contiguous slice (slice i covers [i*cap/n, (i+1)*cap/n)).
+    Pure array computation — placement onto a mesh happens separately
+    (shard_mapping_state locally, parallel.multihost.place_state_global
+    across processes)."""
+
+    def redistribute(store: MapStore, capacity: int, leaf: float) -> MapStore:
+        # within each owner, pack points contiguously at slot
+        # owner*cap_shard + rank.
         cap_shard = capacity // n
-        owner = jnp.where(store.mask, store.cell % n, n)
+        owner = jnp.where(store.mask, voxel_owner(store.xyz, leaf, n), n)
         key = owner * capacity + jnp.arange(store.cell.shape[0], dtype=jnp.int32)
         order = jnp.argsort(key, stable=True)
         # rank within owner group
@@ -90,15 +114,21 @@ def redistribute_state(state: MappingState, n: int) -> MappingState:
         )[:capacity]
         return MapStore(xyz=xyz, cell=cell, mask=mask)
 
-    corner = redistribute(state.corner, state.corner.xyz.shape[0])
-    surf = redistribute(state.surf, state.surf.xyz.shape[0])
+    corner = redistribute(
+        state.corner, state.corner.xyz.shape[0], cfg.line_resolution
+    )
+    surf = redistribute(
+        state.surf, state.surf.xyz.shape[0], cfg.plane_resolution
+    )
     return state._replace(corner=corner, surf=surf)
 
 
-def shard_mapping_state(state: MappingState, mesh: Mesh) -> MappingState:
+def shard_mapping_state(
+    state: MappingState, mesh: Mesh, cfg: MappingConfig
+) -> MappingState:
     """Place the point stores sharded over the mesh (points dimension) and
-    re-assign each point to its owner device by cell hash."""
-    state = redistribute_state(state, mesh.shape[AXIS])
+    re-assign each point to its owner device by dedup-voxel hash."""
+    state = redistribute_state(state, mesh.shape[AXIS], cfg)
 
     shard_pts = NamedSharding(mesh, P(AXIS))
     shard_pts2 = NamedSharding(mesh, P(AXIS, None))
@@ -283,7 +313,9 @@ def sharded_mapping_step(
             )
             inside = jnp.all((ijk >= 0) & (ijk < dims[None, :]), axis=-1)
             cell = jnp.where(inside, _cell_linear(ijk, cfg), 0).astype(jnp.int32)
-            mine = (cell % n) == jax.lax.axis_index(AXIS)
+            # reg is replicated (stack + pose are), so every device
+            # computes identical owners and exactly one keeps each point
+            mine = voxel_owner(reg, leaf, n) == jax.lax.axis_index(AXIS)
             new_mask = stack_mask & inside & mine
             all_xyz = jnp.concatenate([store.xyz, reg], axis=0)
             all_cell = jnp.concatenate([store.cell, cell], axis=0)

@@ -95,6 +95,117 @@ class World:
                 )
         return w
 
+    @staticmethod
+    def loop(
+        seed: int = 0,
+        radius: float = 25.0,
+        corridor_half_width: float = 6.0,
+        n_boxes: int = 28,
+        n_posts: int = 24,
+    ) -> "World":
+        """Ring-road world for closed-loop trajectory gates.
+
+        ``urban`` keeps only the straight |y| ≲ 6 m corridor clear, so a
+        circular trajectory drives straight through building footprints
+        (and the far side of the loop leaves the populated band entirely).
+        Here the clear annulus follows the loop itself: the nominal path is
+        the circle of ``radius`` centered at (0, radius); buildings and
+        posts are scattered on both sides of the annulus
+        [radius - cw, radius + cw], all the way around, so every heading
+        sees structure at comparable range.
+        """
+        rng = np.random.default_rng(seed)
+        center = np.array([0.0, radius])
+        w = World()
+        for _ in range(n_boxes):
+            hx = rng.uniform(2.0, 6.0)
+            hy = rng.uniform(2.0, 6.0)
+            hz = rng.uniform(3.0, 10.0)
+            yaw = rng.uniform(-np.pi, np.pi)
+            extent = float(np.hypot(hx, hy))
+            inner = rng.random() < 0.4
+            if inner:
+                rr = radius - corridor_half_width - extent - rng.uniform(0.0, 6.0)
+                if rr < extent + 1.0:  # too big for the island: push outside
+                    inner = False
+            if not inner:
+                rr = radius + corridor_half_width + extent + rng.uniform(0.0, 12.0)
+            th = rng.uniform(0, 2 * np.pi)
+            cx, cy = center + rr * np.array([np.sin(th), -np.cos(th)])
+            w.boxes.append(
+                Box(center=np.array([cx, cy, w.ground_z + hz]),
+                    half=np.array([hx, hy, hz]), yaw=yaw)
+            )
+        for _ in range(n_posts):
+            side = rng.choice([-1.0, 1.0])
+            rr = radius + side * rng.uniform(
+                corridor_half_width * 0.6, corridor_half_width * 0.95
+            )
+            th = rng.uniform(0, 2 * np.pi)
+            cx, cy = center + rr * np.array([np.sin(th), -np.cos(th)])
+            r = rng.uniform(0.08, 0.2)
+            h = rng.uniform(4.0, 8.0)
+            w.boxes.append(
+                Box(center=np.array([cx, cy, w.ground_z + h / 2]),
+                    half=np.array([r, r, h / 2]))
+            )
+        return w
+
+    @staticmethod
+    def corridor(
+        seed: int = 0,
+        length: float = 200.0,
+        half_width: float = 4.0,
+        n_clutter: int = 6,
+        end_wall_x: float | None = None,
+    ) -> "World":
+        """Long straight corridor — near-degenerate geometry.
+
+        Two parallel walls constrain lateral translation, roll, pitch and
+        yaw but leave forward (x) translation unobservable from the wall
+        planes; the classic LiDAR-SLAM failure mode.  Measured behavior
+        (probes 2026-08-17): forward motion is under-tracked ~10x even
+        with clutter AND a corridor end wall in sensor range
+        (``end_wall_x``), because (a) the noise-jittered normals of the
+        thousands of degenerate triangle-plane factors inflate H_xx
+        without contributing signal to g_x, shrinking every Newton step
+        along the weak axis, and (b) the correspondence vote REJECTS the
+        few informative end-wall matches — under an along-axis slip the
+        degenerate majority stays mutually distance-consistent while
+        correct wall-end matches disagree with it.  Both mechanisms are
+        inherent to the reference's algorithm (same factors, same vote
+        mathematics): this world reproduces the textbook "LOAM drifts in
+        corridors" degeneracy in its purest form.  Gate graceful
+        degradation here (finite poses, off-axis pinned), not tracking.
+        """
+        rng = np.random.default_rng(seed)
+        w = World()
+        wall_h = 3.0
+        for side in (-1.0, 1.0):
+            w.boxes.append(
+                Box(center=np.array([length / 2 - 20.0,
+                                     side * (half_width + 0.2),
+                                     w.ground_z + wall_h]),
+                    half=np.array([length / 2, 0.2, wall_h]))
+            )
+        if end_wall_x is not None:
+            w.boxes.append(
+                Box(center=np.array([end_wall_x + 0.2, 0.0,
+                                     w.ground_z + wall_h]),
+                    half=np.array([0.2, half_width + 0.5, wall_h]))
+            )
+        for _ in range(n_clutter):
+            side = rng.choice([-1.0, 1.0])
+            cx = rng.uniform(-15.0, length - 30.0)
+            d = rng.uniform(0.3, 0.8)
+            hh = rng.uniform(0.6, 1.6)
+            hw = rng.uniform(0.3, 0.9)
+            w.boxes.append(
+                Box(center=np.array([cx, side * (half_width - d), w.ground_z + hh]),
+                    half=np.array([hw, d * 0.8, hh]))
+            )
+        return w
+
 
 def _ray_ground(o, d, ground_z):
     dz = d[:, 2]

@@ -132,4 +132,9 @@ def render_pipeline(pipe, path_prefix: str,
         np.asarray(cx), np.asarray(cm),
         trajectory=mapped,
     )
+    # interactive 3-D orbit/pan/zoom view (the rviz stand-in proper)
+    from light_loam_tpu.utils.html_viewer import export_pipeline_html
+
+    out["html"] = export_pipeline_html(pipe, f"{path_prefix}_view.html",
+                                       gt=gt)
     return out

@@ -82,7 +82,7 @@ def main():
     corner = place_cloud_global(cloud(world, 800, 1024, 11), mesh)
     surf = place_cloud_global(cloud(world, 1800, 2048, 12), mesh)
 
-    state = place_state_global(MappingState.init(cfg), mesh)
+    state = place_state_global(MappingState.init(cfg), mesh, cfg)
     q0 = to_global(np.array([0, 0, 0, 1], np.float32), P(), mesh)
     t0 = to_global(np.zeros(3, np.float32), P(), mesh)
     state, out0 = sharded_mapping_step(state, corner, surf, q0, t0, cfg, mesh)

@@ -221,6 +221,45 @@ def test_vote_modes_run():
         assert abs(t[0] - 0.6) < 0.3, f"{plane_mode}/{corner_mode}: {t}"
 
 
+def test_html_viewer_roundtrip(tmp_path):
+    """utils/html_viewer: the embedded base64 payload must decode back to
+    the (masked, possibly subsampled) input points."""
+    import base64
+    import json
+    import re
+
+    from light_loam_tpu.utils.html_viewer import export_html
+
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, bool)
+    mask[400:] = False
+    traj = np.cumsum(rng.normal(size=(20, 3)).astype(np.float32), axis=0)
+    path = export_html(
+        str(tmp_path / "v.html"),
+        [("surf", xyz, mask)],
+        [("trajectory", traj)],
+        max_points=1000,
+    )
+    text = open(path).read()
+    m = re.search(r"const P = (\{.*?\});\n", text, re.S)
+    assert m, "payload not found in html"
+    payload = json.loads(m.group(1))
+    [cloud] = payload["clouds"]
+    pts = np.frombuffer(base64.b64decode(cloud["b64"]), np.float32)
+    np.testing.assert_array_equal(pts.reshape(-1, 3), xyz[:400])
+    [p] = payload["paths"]
+    back = np.frombuffer(base64.b64decode(p["b64"]), np.float32)
+    np.testing.assert_array_equal(back.reshape(-1, 3), traj)
+    # subsampling cap respected
+    path2 = export_html(str(tmp_path / "v2.html"), [("surf", xyz, None)],
+                        max_points=100)
+    text2 = open(path2).read()
+    payload2 = json.loads(re.search(r"const P = (\{.*?\});\n", text2,
+                                    re.S).group(1))
+    assert payload2["clouds"][0]["n"] == 100
+
+
 def test_viz_renders(tmp_path):
     """utils/viz: PNG quick-looks render without a display (rviz parity)."""
     pytest.importorskip("matplotlib")
@@ -232,6 +271,8 @@ def test_viz_renders(tmp_path):
     )
     out = viz.render_pipeline(pipe, str(tmp_path / "viz"), gt=truth)
     assert (tmp_path / "viz_map.png").exists()
+    # interactive HTML view exported alongside the PNGs
+    assert (tmp_path / "viz_view.html").exists()
     # full-length mapped trajectory is exposed publicly
     mapped = pipe.mapped_positions()
     assert len(mapped) == sum(r.mapped for r in results)

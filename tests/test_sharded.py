@@ -54,14 +54,23 @@ def test_sharded_matches_single_chip(n_devices):
     mesh = make_mesh(n_devices)
 
     single = MappingState.init(CFG)
-    sharded = shard_mapping_state(MappingState.init(CFG), mesh)
+    sharded = shard_mapping_state(MappingState.init(CFG), mesh, CFG)
 
-    for k in range(3):
+    # One-step equivalence at 10 successive map states: the sharded step
+    # runs from a resharding of the SAME pre-step state the single-chip
+    # step sees, so each frame is an independent equivalence check at a
+    # progressively richer map.  (Free-running both paths instead turns
+    # borderline 1 m^2 gate flips — which XLA CPU's load-dependent
+    # threaded reduction order makes run-to-run nondeterministic — into a
+    # compounding random walk through the map feedback loop, measured at
+    # up to ~5 cm over 10 frames: that gates noise, not the algorithm.)
+    for k in range(10):
         pos = np.array([0.5 * k, 0.0, 0.0])
         c, s = clouds_for_frame(world, pos, rng, seed=30 + k)
         # odometry slightly off on purpose
         t_odom = jnp.asarray(pos.astype(np.float32) + np.float32(0.05))
         q_odom = quat.quat_identity()
+        sharded = shard_mapping_state(single, mesh, CFG)
         single, out_s = mapping_step(single, c, s, q_odom, t_odom, CFG)
         sharded, out_m = sharded_mapping_step(
             sharded, c, s, q_odom, t_odom, CFG, mesh
@@ -69,46 +78,61 @@ def test_sharded_matches_single_chip(n_devices):
 
         t_single = np.asarray(out_s.t_w)
         t_multi = np.asarray(out_m.t_w)
-        # identical algorithm, but f32 reduction order differs between the
-        # tiled single-chip knn and the shard+merge path; borderline
-        # 1.0 m^2 gate flips compound through the map feedback loop, so
-        # the gate is trajectory-level, not bitwise
-        np.testing.assert_allclose(t_multi, t_single, atol=3e-2)
+        gap = float(np.linalg.norm(t_multi - t_single))
+        # one-step gap only carries intra-solve reduction noise plus a
+        # handful of borderline-gate flips — no compounding
+        assert gap < 2e-2, f"frame {k}: sharded-vs-single gap {gap:.4f} m"
         assert abs(int(out_m.surf_factors) - int(out_s.surf_factors)) <= max(
-            5, 0.05 * int(out_s.surf_factors)
+            5, 0.03 * int(out_s.surf_factors)
         )
-        # map point totals agree approximately (dedup slot ties)
+        # post-step map point totals agree (dedup slot ties only)
         n_s, n_m = int(out_s.map_surf_points), int(out_m.map_surf_points)
         assert abs(n_m - n_s) <= max(10, 0.02 * n_s)
 
 
 def test_sharded_state_is_actually_sharded():
     mesh = make_mesh(8)
-    state = shard_mapping_state(MappingState.init(CFG), mesh)
+    state = shard_mapping_state(MappingState.init(CFG), mesh, CFG)
     sh = state.surf.xyz.sharding
     assert sh.is_fully_replicated is False
 
 
-def test_cell_ownership_partition():
+def test_voxel_ownership_partition():
+    """Every point must land on its dedup-voxel-hash owner's slice, with
+    nothing lost; same-voxel points must share an owner (dedup locality);
+    and ownership must balance far better than the heavy-cell skew the
+    old cell-hash design had (see parallel/sharded.py docstring)."""
+    from light_loam_tpu.parallel.sharded import voxel_owner
+
     mesh = make_mesh(4)
     st = MappingState.init(CFG)
-    # craft a store with points in known cells
-    n = 64
-    xyz = np.random.default_rng(1).normal(size=(n, 3)).astype(np.float32)
-    cell = np.arange(n, dtype=np.int32) % 100
+    n = 512
+    rng = np.random.default_rng(1)
+    xyz = rng.uniform(-40, 40, size=(n, 3)).astype(np.float32)
+    # include same-voxel duplicates
+    xyz[n // 2:] = xyz[: n // 2] + rng.uniform(
+        0, 0.05, size=(n // 2, 3)
+    ).astype(np.float32)
     store = st.corner._replace(
         xyz=st.corner.xyz.at[:n].set(jnp.asarray(xyz)),
-        cell=st.corner.cell.at[:n].set(jnp.asarray(cell)),
+        cell=st.corner.cell.at[:n].set(0),
         mask=st.corner.mask.at[:n].set(True),
     )
     st = st._replace(corner=store)
-    sharded = shard_mapping_state(st, mesh)
+    sharded = shard_mapping_state(st, mesh, CFG)
     cap = CFG.map_corner_capacity
-    cells = np.asarray(sharded.corner.cell)
+    sx = np.asarray(sharded.corner.xyz)
     mask = np.asarray(sharded.corner.mask)
     shard_size = cap // 4
+    counts = []
     for dev in range(4):
         seg = slice(dev * shard_size, (dev + 1) * shard_size)
-        owned = cells[seg][mask[seg]]
-        assert (owned % 4 == dev).all()
+        pts = sx[seg][mask[seg]]
+        owners = np.asarray(
+            voxel_owner(jnp.asarray(pts), CFG.line_resolution, 4)
+        )
+        assert (owners == dev).all()
+        counts.append(len(pts))
     assert mask.sum() == n
+    # hash balance: no shard holds more than half the points
+    assert max(counts) <= n // 2, counts
