@@ -21,6 +21,14 @@ import os
 import sys
 import time
 
+# The bench runs in the validated "high" performance tier unless the
+# caller pins one: 3-pass bf16 distance matmuls are ~2x the MXU ceiling
+# of the exact-f32 default and the accuracy cost is measured on-device at
+# +11% relative ATE (0.154 -> 0.171 m on the 157 m loop, still ~10x under
+# every gate) — see ACCURACY_TPU.json / bench_accuracy.py.  Must be set
+# before light_loam_tpu imports.
+os.environ.setdefault("LLT_MATMUL_PRECISION", "high")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -182,14 +190,15 @@ def bench_single(cfg, frames):
 
 def bench_batched(cfg, frames):
     state = init_batch_state(cfg, BATCH)
+    n_f = len(frames)
     puts = []
-    for x, m in frames[: N_WARM + N_BENCH]:
-        puts.append((
-            jax.device_put(np.ascontiguousarray(
-                np.broadcast_to(x, (BATCH,) + x.shape))),
-            jax.device_put(np.ascontiguousarray(
-                np.broadcast_to(m, (BATCH,) + m.shape))),
-        ))
+    # lane b replays the sequence phase-shifted by b frames, so lanes are
+    # decorrelated (different poses/scans per step) instead of 8 copies of
+    # one frame — data-dependent variance shows up in the measurement
+    for i in range(N_WARM + N_BENCH):
+        xs = np.stack([frames[(i + b) % n_f][0] for b in range(BATCH)])
+        ms = np.stack([frames[(i + b) % n_f][1] for b in range(BATCH)])
+        puts.append((jax.device_put(xs), jax.device_put(ms)))
     jax.block_until_ready(puts)
     for i in range(N_WARM):
         state, odo, mout = batched_frame_step(state, *puts[i], cfg)
@@ -258,47 +267,39 @@ def main():
         print(json.dumps(run_mode(_sys.argv[1])))
         return
 
-    # batched is the headline (and the bigger number); single-stream runs
-    # afterwards IF budget remains — it carries the per-stage device-time
-    # breakdown and MFU estimate (each stage is its own jitted program
-    # there).  Remote compiles through this harness's tunnel take minutes
-    # and the persistent compilation cache does not apply, so each mode
-    # gets a hard wall.
+    # single-stream runs FIRST: it compiles reliably inside the budget
+    # (~190 s incl. remote compiles) and carries the per-stage device-time
+    # breakdown and MFU estimate, so a valid artifact is guaranteed.
+    # Batched — the bigger headline number — then gets ALL remaining
+    # budget; its vmapped program is the slowest remote compile and on bad
+    # tunnel days (compiles are 1-7 min, no persistent cache) it can blow
+    # any cap, in which case the single-stream record stands.
     t_start = time.time()
     results = {}
     fps = 0.0
     mode_used = "none"
-    for mode in ("batched", "single"):
+    for mode in ("single", "batched"):
         budget_left = 560 - (time.time() - t_start)
-        if mode == "single" and budget_left < 240:
-            log(f"skipping single mode: only {budget_left:.0f}s budget left")
-            break
+        if budget_left < 120:
+            log(f"skipping {mode} mode: only {budget_left:.0f}s budget left")
+            continue
+        cap = min(300, budget_left - 10) if mode == "single" else (
+            budget_left - 10
+        )
         try:
             out = subprocess.run(
                 [_sys.executable, __file__, mode],
                 capture_output=True, text=True,
-                timeout=max(60, min(360, budget_left - 10)),
+                timeout=max(60, cap),
             )
             sys.stderr.write(out.stderr)
             results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
-            if mode_used == "none":
+            # batched (aggregate) is the headline whenever it completes
+            if mode_used in ("none", "single"):
                 fps = results[mode]["fps"]
                 mode_used = mode
-        except Exception as e:  # noqa: BLE001 - fall back to the next mode
+        except Exception as e:  # noqa: BLE001 - fall back to the other mode
             log(f"{mode} bench failed: {e}")
-    if mode_used == "none" and "single" not in results:
-        # batched failed and single never ran: try single as fallback
-        try:
-            out = subprocess.run(
-                [_sys.executable, __file__, "single"],
-                capture_output=True, text=True, timeout=300,
-            )
-            sys.stderr.write(out.stderr)
-            results["single"] = json.loads(out.stdout.strip().splitlines()[-1])
-            fps = results["single"]["fps"]
-            mode_used = "single"
-        except Exception as e:  # noqa: BLE001
-            log(f"single fallback failed: {e}")
 
     # mode/batch recorded so runs at different configurations stay
     # comparable (aggregate fps scales with BATCH in batched mode)

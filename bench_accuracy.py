@@ -1,0 +1,93 @@
+"""On-device trajectory-accuracy probe (TPU or CPU).
+
+History shows accuracy here is a *device* property, not just an algorithm
+property: the TPU's default bf16 matmul lowering silently diverged long
+trajectories while the identical program tracked on CPU (fixed by pinning
+precision, commit 93349f0).  The CPU test suite therefore cannot certify a
+precision tier — this probe replays the loop-trajectory accuracy gate
+(tests/test_trajectory_gates.py) on whatever device and
+LLT_MATMUL_PRECISION tier the process was started with, and prints ONE
+JSON line so tiers can be compared apples-to-apples:
+
+    timeout 590 python bench_accuracy.py                 # highest (default)
+    LLT_MATMUL_PRECISION=high timeout 590 python bench_accuracy.py
+
+Protocol: 48-frame 360-degree loop on the ring-road world (World.loop,
+r=25 — 157 m path, 3.3 m / 7.5 deg per frame), flagship HDL-64 profile.
+The trajectory starts at the origin with yaw 0 so the SLAM frame
+(frame-0 sensor frame) coincides with the world frame; ATE needs no
+alignment.  Reference protocol: offline KITTI scoring of the written
+trajectory (laserMapping.cpp:2284-2326, SURVEY §4).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from light_loam_tpu.models.pipeline import Pipeline
+    from light_loam_tpu.config import HDL64_KITTI
+    from light_loam_tpu.utils.synthetic import World, pad_cloud, simulate_scan
+
+    cfg = HDL64_KITTI
+    tier = os.environ.get("LLT_MATMUL_PRECISION", "highest")
+    log(f"devices: {jax.devices()}  precision tier: {tier}")
+
+    radius = 25.0
+    n_frames = int(os.environ.get("LLT_ACC_FRAMES", "48"))
+    world = World.loop(seed=5, radius=radius)
+    frames = []
+    truth = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        pos = np.array([radius * np.sin(th), radius * (1 - np.cos(th)), 0.0])
+        pts = simulate_scan(world, pos, sensor_yaw=th, n_azimuth=1800,
+                            noise=0.01, seed=500 + i)
+        frames.append(pad_cloud(pts, cfg.scan.max_points))
+        truth.append(pos)
+    truth = np.asarray(truth)
+    log(f"simulated {n_frames} loop frames (~{int(frames[0][1].sum())} pts)")
+
+    t0 = time.time()
+    pipe = Pipeline(cfg)
+    for i, (xyz, mask) in enumerate(frames):
+        pipe.process_frame(xyz, mask)
+        if i == 0:
+            log(f"first frame (incl. compiles): {time.time()-t0:.1f}s")
+    pipe._retire_mapping(wait=True)
+    wall = time.time() - t0
+
+    est = pipe.mapped_positions()
+    n = min(len(est), len(truth))
+    err = est[:n] - truth[:n]
+    ate = float(np.sqrt((err ** 2).sum(1).mean()))
+    closure = float(np.linalg.norm(err[n - 1]))
+    path_len = 2 * np.pi * radius
+    record = {
+        "metric": "loop48_ate_rmse",
+        "value": round(ate, 4),
+        "unit": "m",
+        "ate_pct_of_path": round(100 * ate / path_len, 4),
+        "closure_m": round(closure, 4),
+        "frames": n,
+        "precision": tier,
+        "platform": jax.devices()[0].platform,
+        "wall_s": round(wall, 1),
+    }
+    log(f"ATE {ate:.4f} m ({100*ate/path_len:.3f}% of {path_len:.0f} m), "
+        f"closure {closure:.4f} m, wall {wall:.1f}s")
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

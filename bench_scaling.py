@@ -15,28 +15,24 @@ recorded in the artifact: the N virtual devices share os.cpu_count()
 physical cores, so raw wall-clock efficiency beyond n = cores measures
 core contention, not the sharded program.
 
---pinned fixes that: the harness re-execs itself under ``taskset -c 0``
-(one physical core), making total compute a fixed resource.  Then the
-ideal times are exactly computable — weak scaling with n× the work should
-take n·t1 (efficiency = n·t1/tn); strong scaling with fixed work split n
-ways should take t1 (efficiency = t1/tn) — and the measured deficit is
-precisely the partition + collective overhead the sharding adds, i.e. the
-only quantity a virtual mesh can legitimately measure.  On a real slice
-(--real with >1 device) the same code measures true ICI scaling.
+--pinned fixes that: every TIMED region runs with the whole process
+narrowed to one physical core (affinity set on every thread via
+/proc/self/task; compiles and warmups keep all cores).  With total
+compute a fixed resource the ideal times are exactly computable — weak
+scaling with n× the work should take n·t1 (efficiency = n·t1/tn); strong
+scaling with fixed work split n ways should take t1 (efficiency = t1/tn)
+— and the measured deficit is precisely the partition + collective
+overhead the sharding adds, i.e. the only quantity a virtual mesh can
+legitimately measure.  On a real slice (--real with >1 device) the same
+code measures true ICI scaling.
 """
 
 import argparse
+import contextlib
 import json
 import os
 import sys
 import time
-
-# --pinned: re-exec the whole process on one core BEFORE jax spins up its
-# thread pools, so every measurement below shares a single fixed compute
-# resource and the ideal-time formulas in the module docstring hold.
-if "--pinned" in sys.argv and os.environ.get("_LLT_PINNED") != "1":
-    os.environ["_LLT_PINNED"] = "1"
-    os.execvp("taskset", ["taskset", "-c", "0", sys.executable] + sys.argv)
 
 # env must be set before jax initializes a backend (CLAUDE.md: the axon
 # plugin is pinned via sitecustomize; CPU needs env + config override)
@@ -58,6 +54,32 @@ if "--real" not in sys.argv:
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _set_all_threads_affinity(cpus):
+    """Set CPU affinity for EVERY thread of this process (XLA's pools are
+    already spawned by measure time; os.sched_setaffinity alone only pins
+    the calling thread)."""
+    for tid in os.listdir("/proc/self/task"):
+        try:
+            os.sched_setaffinity(int(tid), cpus)
+        except OSError:
+            pass  # thread exited between listdir and the call
+
+
+@contextlib.contextmanager
+def pinned_cpu(enabled: bool):
+    """Narrow the process to one core for the duration (the timed region),
+    restoring full affinity afterwards."""
+    if not enabled:
+        yield
+        return
+    full = os.sched_getaffinity(0)
+    _set_all_threads_affinity({min(full)})
+    try:
+        yield
+    finally:
+        _set_all_threads_affinity(full)
 
 
 def weak_scaling_batched(cfg, device_counts, lanes_per_device, n_steps,
@@ -87,11 +109,14 @@ def weak_scaling_batched(cfg, device_counts, lanes_per_device, n_steps,
         for _ in range(2):  # warmup incl. compile
             state, odo, mout = sharded_batched_frame_step(state, dx, dm, cfg)
         jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            state, odo, mout = sharded_batched_frame_step(state, dx, dm, cfg)
-        jax.block_until_ready((state, mout))
-        dt = time.perf_counter() - t0
+        with pinned_cpu(pinned):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                state, odo, mout = sharded_batched_frame_step(
+                    state, dx, dm, cfg
+                )
+            jax.block_until_ready((state, mout))
+            dt = time.perf_counter() - t0
         fps = n_steps * B / dt
         rows.append({"devices": n, "batch": B, "fps": round(fps, 2),
                      "step_ms": round(1000 * dt / n_steps, 3)})
@@ -153,13 +178,15 @@ def strong_scaling_mapping(cfg, device_counts, n_steps, pinned=False):
             state, corner, surf, quat.quat_identity(), t_odom, mcfg, mesh
         )
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            state, out = sharded_mapping_step(
-                state, corner, surf, quat.quat_identity(), t_odom, mcfg, mesh
-            )
-        jax.block_until_ready((state, out))
-        dt = time.perf_counter() - t0
+        with pinned_cpu(pinned):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                state, out = sharded_mapping_step(
+                    state, corner, surf, quat.quat_identity(), t_odom,
+                    mcfg, mesh
+                )
+            jax.block_until_ready((state, out))
+            dt = time.perf_counter() - t0
         rows.append({"devices": n,
                      "step_ms": round(1000 * dt / n_steps, 3)})
         log(f"strong n={n}: {1000*dt/n_steps:.1f} ms/step")
@@ -214,11 +241,15 @@ def main():
 
     if args.pinned:
         note = (
-            "pinned 1-core proxy: total compute fixed via taskset, so the "
+            "pinned 1-core proxy: timed regions run with all threads "
+            "affined to one core, so the "
             "ideal times are exact (weak: n*t1, strong: t1) and efficiency "
             "isolates the partition+collective overhead the sharding adds "
             "— the only quantity a virtual mesh can measure; true ICI "
-            "scaling needs a real slice (--real)."
+            "scaling needs a real slice (--real).  Counts above the host "
+            "core count additionally pay host-scheduler time-slicing of n "
+            "device runtimes on one core, overstating overhead — read "
+            "n <= cores as the clean proxy."
         )
     else:
         note = (

@@ -23,14 +23,38 @@ import jax as _jax
 
 # Geometry demands real f32 matmuls: TPU XLA otherwise lowers f32 matmuls
 # to bf16×bf16+f32 accumulation, and with world coordinates up to hundreds
-# of metres the rounding error exceeds correspondence gates, plane-fit
-# normal equations, and compatibility length scales (measured: identical
-# programs track on CPU and diverge on TPU at default precision).  The
-# distance-critical kernels also pin precision=HIGHEST explicitly; this
+# of metres the single-pass bf16 rounding (~0.4% rel, tens of m² on the
+# 1e4 m² cross terms) exceeds correspondence gates, plane-fit normal
+# equations, and compatibility length scales (measured: identical programs
+# track on CPU and diverge on TPU at default precision).  The
+# distance-critical kernels also pin their precision explicitly; this
 # default protects every remaining einsum (Jacobian accumulation, plane
-# fits, Schur reduction).  Users may override after import if they accept
-# the accuracy consequences for their own ops.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# fits, Schur reduction).
+#
+# LLT_MATMUL_PRECISION selects the tier (default "highest" = 6-pass bf16,
+# exact-f32-equivalent).  "high" (3-pass, ~2.4e-7 rel ≈ 2.4e-3 m² on the
+# cross terms — still two orders under the tightest 1 m² gate) doubles the
+# MXU ceiling of every distance/vote matmul; see BENCH notes for the
+# measured accuracy/thoughput trade.
+import os as _os
+
+_PRECISION = _os.environ.get("LLT_MATMUL_PRECISION", "highest")
+if _PRECISION not in ("highest", "high", "default"):
+    raise ValueError(
+        f"LLT_MATMUL_PRECISION={_PRECISION!r}: use highest|high|default"
+    )
+_jax.config.update("jax_default_matmul_precision", _PRECISION)
+
+
+def dist_precision() -> "_jax.lax.Precision":
+    """Precision for the distance-critical matmuls (kNN tiles, vote
+    compatibility).  They follow the package tier rather than hard-coding
+    HIGHEST so LLT_MATMUL_PRECISION=high governs the whole compute path."""
+    return {
+        "highest": _jax.lax.Precision.HIGHEST,
+        "high": _jax.lax.Precision.HIGH,
+        "default": _jax.lax.Precision.DEFAULT,
+    }[_PRECISION]
 
 from light_loam_tpu.config import (
     ScanConfig,

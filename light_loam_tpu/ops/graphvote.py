@@ -80,13 +80,15 @@ def _scatter_chunks(values, valid, chunk_id, offset, n_regions: int, K: int):
 def _compat_scores(src, tgt, resolution: float):
     """(R, K, K) compatibility matrix per chunk."""
     def dists(p):
-        # precision=HIGHEST: see ops.knn.pairwise_sq_dist — bf16 cross
+        # elevated precision: see ops.knn.pairwise_sq_dist — bf16 cross
         # terms at ~100 m coordinates corrupt metre-scale distances
+        from light_loam_tpu import dist_precision
+
         d2 = (
             jnp.sum(p * p, axis=-1)[:, :, None]
             + jnp.sum(p * p, axis=-1)[:, None, :]
             - 2.0 * jnp.einsum(
-                "rkd,rld->rkl", p, p, precision=jax.lax.Precision.HIGHEST
+                "rkd,rld->rkl", p, p, precision=dist_precision()
             )
         )
         return jnp.sqrt(jnp.maximum(d2, 0.0))

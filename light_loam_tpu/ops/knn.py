@@ -34,16 +34,20 @@ _BIG = 1e30
 def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(Q,3),(N,3) -> (Q,N) squared distances via the MXU.
 
-    precision=HIGHEST is load-bearing: TPU matmuls default to bf16 inputs,
-    and with coordinates up to ~100 m the cross term reaches ~10⁴ m², so
-    bf16 rounding (~0.4% relative) injects tens of m² of error — larger
-    than the 25 m² correspondence gate.  Measured end-to-end: default
-    precision makes long trajectories diverge on TPU while the identical
-    program tracks perfectly on CPU.
+    Elevated precision is load-bearing: TPU matmuls default to bf16
+    inputs, and with coordinates up to ~100 m the cross term reaches
+    ~10⁴ m², so single-pass bf16 rounding (~0.4% relative) injects tens
+    of m² of error — larger than the 25 m² correspondence gate.  Measured
+    end-to-end: default precision makes long trajectories diverge on TPU
+    while the identical program tracks perfectly on CPU.  The tier comes
+    from LLT_MATMUL_PRECISION (highest = exact f32; high = 3-pass bf16,
+    ~2.4e-3 m² error on the cross term, still far under every gate).
     """
+    from light_loam_tpu import dist_precision
+
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    cross = jnp.matmul(a, b.T, precision=dist_precision())
     d = a2 + b2.T - 2.0 * cross
     return jnp.maximum(d, 0.0)
 

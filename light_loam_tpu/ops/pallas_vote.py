@@ -36,13 +36,20 @@ def _vote_kernel(src_ref, tgt_ref, valid_ref, votes_ref, *, threshold,
 
     def dists(x):  # x: (3, K) -> (K, K) Euclidean distances
         n2 = jnp.sum(x * x, axis=0, keepdims=True)  # (1, K)
-        # full-f32 MXU passes: bf16 cross terms at ~100 m coordinates are
-        # worse than the compatibility kernel's length scale (see
-        # ops.knn.pairwise_sq_dist)
+        # elevated-precision MXU passes: bf16 cross terms at ~100 m
+        # coordinates are worse than the compatibility kernel's length
+        # scale (see ops.knn.pairwise_sq_dist).  Mosaic's dot lowering
+        # only accepts DEFAULT/HIGHEST, so the package "high" tier clamps
+        # to HIGHEST here — the kernel is tiny (K x K), precision is free.
+        from light_loam_tpu import dist_precision
+
+        prec = dist_precision()
+        if prec == jax.lax.Precision.HIGH:
+            prec = jax.lax.Precision.HIGHEST
         cross = jax.lax.dot_general(
             x, x, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (K, K)
         d2 = n2 + n2.T - 2.0 * cross
         return jnp.sqrt(jnp.maximum(d2, 0.0))

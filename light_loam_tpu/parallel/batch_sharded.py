@@ -5,7 +5,7 @@ sequences into one program; here those batch lanes are sharded over a
 1-D ``data`` mesh axis.  Lanes never interact, so the partitioned program
 contains ZERO collectives — pure weak scaling, the throughput-oriented
 multi-chip mode (BASELINE.md "frames/s scaling efficiency" target).  The
-complementary axis — cell-hash map sharding with psum'd Gauss-Newton,
+complementary axis — voxel-hash map sharding with psum'd Gauss-Newton,
 which DOES communicate — lives in parallel/sharded.py.
 
 Mechanism: inputs and state are placed with NamedSharding(mesh,
