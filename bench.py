@@ -76,6 +76,21 @@ def peak_flops() -> float:
     return 197e12
 
 
+def _flag_mfu_anomaly(extras):
+    """XLA's cost analysis can multiply matmul FLOPs by the precision
+    tier's pass count (an elevated-precision f32 matmul executes as 3 or
+    6 bf16 MXU passes), so mfu computed from it is an *upper bound* and
+    can exceed 1.0 — physically impossible for true model FLOPs.  When
+    that happens, keep the raw value under mfu_upper_bound and null the
+    estimate rather than publish a >1 'utilization'."""
+    mfu = extras.get("mfu_est")
+    if mfu is not None and mfu > 1.0:
+        log(f"mfu anomaly: cost-analysis mfu {mfu} > 1 "
+            "(pass-multiplied flops); reporting as upper bound only")
+        extras["mfu_upper_bound"] = mfu
+        extras["mfu_est"] = None
+
+
 def flops_of(jitted_call, *args, **kwargs):
     """Per-invocation FLOP estimate from XLA's compiled cost analysis.
     Returns None when the backend/plugin doesn't support it."""
@@ -183,6 +198,7 @@ def bench_single(cfg, frames):
         "flops_per_frame": total_flops,
         "mfu_est": round(mfu, 5) if mfu is not None else None,
     }
+    _flag_mfu_anomaly(extras)
     log(f"stage_ms: {extras['stage_ms']}  flops/frame: {total_flops}  "
         f"mfu≈{extras['mfu_est']}")
     return fps, np.asarray(mout.t_w), extras
@@ -191,11 +207,18 @@ def bench_single(cfg, frames):
 def bench_batched(cfg, frames):
     state = init_batch_state(cfg, BATCH)
     n_f = len(frames)
-    puts = []
     # lane b replays the sequence phase-shifted by b frames, so lanes are
     # decorrelated (different poses/scans per step) instead of 8 copies of
-    # one frame — data-dependent variance shows up in the measurement
-    for i in range(N_WARM + N_BENCH):
+    # one frame — data-dependent variance shows up in the measurement.
+    # Only N_STAGE distinct batched steps are staged (cycled modulo) —
+    # staging through this harness's ~1 GB/s tunnel is the budget hog
+    # (each stacked pair is ~13 MB at B=8), while the compiled program's
+    # runtime is data-independent, so cycling costs the measurement
+    # nothing and buys 4x the timed steps for dispatch amortization.
+    N_STAGE = 6
+    N_TIMED = 40
+    puts = []
+    for i in range(N_STAGE):
         xs = np.stack([frames[(i + b) % n_f][0] for b in range(BATCH)])
         ms = np.stack([frames[(i + b) % n_f][1] for b in range(BATCH)])
         puts.append((jax.device_put(xs), jax.device_put(ms)))
@@ -205,9 +228,9 @@ def bench_batched(cfg, frames):
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    for i in range(N_BENCH):
+    for i in range(N_TIMED):
         state, odo, mout = batched_frame_step(
-            state, *puts[(N_WARM + i) % len(puts)], cfg
+            state, *puts[(N_WARM + i) % N_STAGE], cfg
         )
     jax.block_until_ready((state, mout))
     dt = time.perf_counter() - t0
@@ -216,13 +239,13 @@ def bench_batched(cfg, frames):
     t1 = time.perf_counter()
     for i in range(4):
         state, odo, mout = batched_frame_step(
-            state, *puts[(N_WARM + i) % len(puts)], cfg
+            state, *puts[(N_WARM + i) % N_STAGE], cfg
         )
         jax.block_until_ready(state)
     blocked_ms = (time.perf_counter() - t1) / 4 * 1000
     log(f"batched blocked-per-step: {blocked_ms:.2f} ms/step")
 
-    fps = N_BENCH * BATCH / dt
+    fps = N_TIMED * BATCH / dt
     step_flops = flops_of(batched_frame_step, state, *puts[0], cfg)
     mfu = None
     if step_flops:
@@ -233,6 +256,7 @@ def bench_batched(cfg, frames):
         "flops_per_step": step_flops,
         "mfu_est": round(mfu, 5) if mfu is not None else None,
     }
+    _flag_mfu_anomaly(extras)
     log(f"batched flops/step: {step_flops}  mfu≈{extras['mfu_est']}")
     return fps, np.asarray(mout.t_w), extras
 
@@ -314,6 +338,8 @@ def main():
     b = results.get("batched")
     if b:
         record["mfu_est"] = b.get("mfu_est")
+        if b.get("mfu_upper_bound") is not None:
+            record["mfu_upper_bound"] = b["mfu_upper_bound"]
         record["blocked_step_ms"] = b.get("blocked_step_ms")
     s = results.get("single")
     if s:
