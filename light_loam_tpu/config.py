@@ -167,6 +167,11 @@ class OdometryConfig:
     # Motion-compensation (undistortion) hook; DISTORTION 0 in the reference
     # (laserOdometry.cpp:23) so s == 1 always.
     distortion: bool = False
+    # Surf correspondence kernel.  "grid": single-pass search exploiting
+    # the less-flat cloud's ring-slotted layout (half the matmul cost,
+    # exact same semantics — ops/knn.py surf_correspondences_grid).
+    # "tiled": the layout-agnostic two-pass search.
+    surf_knn: str = "grid"
 
 
 @dataclass(frozen=True)

@@ -140,10 +140,19 @@ def odometry_step(
             sharp_sel, sharp.mask, state.corner_last,
             cfg.distance_sq_threshold, cfg.nearby_scan,
         )
-        sm = knn.surf_correspondences(
-            flat_sel, flat.mask, state.surf_last,
-            cfg.distance_sq_threshold, cfg.nearby_scan,
-        )
+        if cfg.surf_knn == "grid":
+            # single-pass search over the ring-slotted less-flat layout
+            # (R inferred from the range image — static at trace time)
+            sm = knn.surf_correspondences_grid(
+                flat_sel, flat.mask, state.surf_last,
+                feats.full.xyz.shape[0],
+                cfg.distance_sq_threshold, cfg.nearby_scan,
+            )
+        else:
+            sm = knn.surf_correspondences(
+                flat_sel, flat.mask, state.surf_last,
+                cfg.distance_sq_threshold, cfg.nearby_scan,
+            )
 
         use_vote = state.frame > cfg.vote_start_frame
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from light_loam_tpu.config import ScanConfig
 from light_loam_tpu.core.frame import PointCloud, RangeImage, ScanFeatures
-from light_loam_tpu.ops.voxel import voxel_downsample
+from light_loam_tpu.ops.voxel import voxel_downsample_rings
 
 
 def _trunc_int(x: jnp.ndarray) -> jnp.ndarray:
@@ -381,16 +381,24 @@ def extract_features(
     lf_sel = band & (label <= 0) & grid.mask
     if occluded is not None:
         lf_sel = lf_sel & ~occluded
-    ring_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, H))
-    lf_xyz, lf_rel, lf_mask, _ = voxel_downsample(
-        grid.xyz.reshape(-1, 3),
-        grid.rel.reshape(-1),
-        lf_sel.reshape(-1),
+    # Per-ring downsample into the ring-slotted grid layout: ring r's
+    # voxels occupy rows [r*C, r*C + C) of the flattened cloud (C =
+    # max_less_flat // n_scans).  This matches the reference's per-ring
+    # VoxelGrid loop (ref:361-376) AND gives the single-pass
+    # correspondence search its static ring structure
+    # (ops.knn.surf_correspondences_grid).
+    lf_xyz, lf_rel, lf_mask = voxel_downsample_rings(
+        grid.xyz,
+        grid.rel,
+        lf_sel,
         cfg.less_flat_leaf,
-        cfg.max_less_flat,
-        extra_key=ring_ids.reshape(-1),
+        cfg.max_less_flat // cfg.n_scans,
     )
-    less_flat = PointCloud(xyz=lf_xyz, rel=lf_rel, mask=lf_mask)
+    less_flat = PointCloud(
+        xyz=lf_xyz.reshape(-1, 3),
+        rel=lf_rel.reshape(-1),
+        mask=lf_mask.reshape(-1),
+    )
 
     return ScanFeatures(
         full=grid,

@@ -191,6 +191,99 @@ def surf_correspondences(
     return SurfMatches(a_idx=a_idx, b_idx=b_idx, c_idx=c_idx, valid=valid)
 
 
+def surf_correspondences_grid(
+    query_xyz: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    ref: PointCloud,
+    n_rings: int,
+    dist_sq_threshold: float = 25.0,
+    nearby_scan: float = 2.5,
+    rings_per_tile: int = 8,
+) -> SurfMatches:
+    """Single-pass surf correspondences over a ring-slotted reference.
+
+    Exact-semantics fast path for `surf_correspondences`: when the
+    reference cloud is in grid layout (ring r owns rows [r*C, r*C+C),
+    produced by ops.voxel.voxel_downsample_rings), the same-ring 2nd and
+    nearby-ring 3rd points (laserOdometry.cpp:668-721) fall out of
+    per-ring top-2 reductions on ONE distance tile — the two-pass version
+    computes every distance twice because pass 2's ring classes depend on
+    pass 1's argmin.  Halves the dominant matmul cost of the odometry
+    stage.  Tie-breaking matches the two-pass version: per-ring argmin
+    picks the first column, the cross-ring reduction picks the first
+    ring, and ring-major grid order IS global index order.
+    """
+    Q = query_xyz.shape[0]
+    R = n_rings
+    C = ref.capacity // R
+    if R * C != ref.capacity:
+        raise ValueError(
+            f"grid layout requires capacity {ref.capacity} divisible by "
+            f"n_rings {R}"
+        )
+    rpt = min(rings_per_tile, R)
+    if R % rpt != 0:
+        rpt = 1
+    n_tiles = R // rpt
+
+    def body(carry, i):
+        rd1, ri1, rd2, ri2 = carry  # (Q, R) each
+        col0 = i * (rpt * C)
+        chunk = jax.lax.dynamic_slice_in_dim(ref.xyz, col0, rpt * C, axis=0)
+        cmask = jax.lax.dynamic_slice_in_dim(ref.mask, col0, rpt * C, axis=0)
+        d = pairwise_sq_dist(query_xyz, chunk)
+        d = jnp.where(cmask[None, :], d, _BIG).reshape(Q, rpt, C)
+        i1 = jnp.argmin(d, axis=-1).astype(jnp.int32)          # (Q, rpt)
+        d1 = jnp.take_along_axis(d, i1[..., None], axis=-1)[..., 0]
+        cols = jnp.arange(C, dtype=jnp.int32)
+        d_wo = jnp.where(cols[None, None, :] == i1[..., None], _BIG, d)
+        i2 = jnp.argmin(d_wo, axis=-1).astype(jnp.int32)
+        d2 = jnp.take_along_axis(d_wo, i2[..., None], axis=-1)[..., 0]
+        r0 = i * rpt
+        rd1 = jax.lax.dynamic_update_slice_in_dim(rd1, d1, r0, axis=1)
+        ri1 = jax.lax.dynamic_update_slice_in_dim(ri1, i1, r0, axis=1)
+        rd2 = jax.lax.dynamic_update_slice_in_dim(rd2, d2, r0, axis=1)
+        ri2 = jax.lax.dynamic_update_slice_in_dim(ri2, i2, r0, axis=1)
+        return (rd1, ri1, rd2, ri2), None
+
+    init = (
+        jnp.full((Q, R), _BIG, jnp.float32),
+        jnp.zeros((Q, R), jnp.int32),
+        jnp.full((Q, R), _BIG, jnp.float32),
+        jnp.zeros((Q, R), jnp.int32),
+    )
+    (rd1, ri1, rd2, ri2), _ = jax.lax.scan(
+        body, init, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+
+    ring_a = jnp.argmin(rd1, axis=1).astype(jnp.int32)         # (Q,)
+    take = lambda arr: jnp.take_along_axis(arr, ring_a[:, None], axis=1)[:, 0]
+    d1 = take(rd1)
+    a_idx = ring_a * C + take(ri1)
+    d2 = take(rd2)
+    b_idx = ring_a * C + take(ri2)
+
+    rr = jnp.arange(R, dtype=jnp.int32)[None, :]
+    ring_diff = rr - ring_a[:, None]
+    win = (ring_diff != 0) & (
+        jnp.abs(ring_diff).astype(jnp.float32) <= nearby_scan
+    )
+    d3m = jnp.where(win, rd1, _BIG)
+    ring_c = jnp.argmin(d3m, axis=1).astype(jnp.int32)
+    d3 = jnp.take_along_axis(d3m, ring_c[:, None], axis=1)[:, 0]
+    c_idx = ring_c * C + jnp.take_along_axis(
+        ri1, ring_c[:, None], axis=1
+    )[:, 0]
+
+    valid = (
+        query_mask
+        & (d1 < dist_sq_threshold)
+        & (d2 < dist_sq_threshold)
+        & (d3 < dist_sq_threshold)
+    )
+    return SurfMatches(a_idx=a_idx, b_idx=b_idx, c_idx=c_idx, valid=valid)
+
+
 def knn_tiled(
     query_xyz: jnp.ndarray,
     ref_xyz: jnp.ndarray,

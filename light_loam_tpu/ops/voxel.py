@@ -113,6 +113,47 @@ def voxel_downsample(
     return xyz_out, rel_out, mask_out, extra_out
 
 
+def voxel_downsample_rings(
+    xyz: jnp.ndarray,
+    rel: jnp.ndarray,
+    mask: jnp.ndarray,
+    leaf: float,
+    ring_capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-ring voxel downsample into a ring-slotted grid.
+
+    Inputs are range-image grids (R, H, 3)/(R, H); output is
+    (R, ring_capacity, ...) where ring r's surviving voxels occupy the
+    row-r prefix.  Flattened row-major this gives the ring-major
+    *grid layout* the single-pass correspondence search
+    (ops.knn.surf_correspondences_grid) exploits: point i belongs to ring
+    i // ring_capacity, so same-ring / nearby-ring candidate sets are
+    contiguous static slices instead of data-dependent membership tests.
+
+    Semantics match the reference's per-ring pcl::VoxelGrid loop
+    (src/scanRegistration.cpp:361-376) exactly while a ring has at most
+    ``ring_capacity`` surviving voxels.  Overflowing rings (dense
+    close-range rings on HDL-64 scans) are decimated by a uniform stride
+    over the key-sorted (spatially ordered) voxel list — an unbiased
+    density bound, unlike capacity truncation which would drop a
+    contiguous spatial arc.
+    """
+    import jax
+
+    H = xyz.shape[1]
+    C = ring_capacity
+
+    def per_ring(x, r, m):
+        vx, vr, vm, _ = voxel_downsample(x, r, m, leaf, H)
+        n = jnp.sum(vm.astype(jnp.int32))
+        j = jnp.arange(C, dtype=jnp.int32)
+        src = jnp.where(n > C, (j * n) // C, j)
+        keep = j < jnp.minimum(n, C)
+        return vx[src], vr[src], keep
+
+    return jax.vmap(per_ring)(xyz, rel, mask)
+
+
 def compact(
     values: jnp.ndarray,
     mask: jnp.ndarray,

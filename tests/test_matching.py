@@ -147,3 +147,52 @@ def test_masked_queries_invalid():
     q = rng.uniform(-5, 5, (8, 3)).astype(np.float32)
     out = knn.corner_correspondences(jnp.asarray(q), jnp.zeros(8, bool), ref)
     assert not np.asarray(out.valid).any()
+
+
+def _grid_cloud(rng, R=8, C=64, fill=0.6):
+    """Random ring-slotted grid cloud: ring r owns rows [r*C, r*C+C)."""
+    xyz = rng.uniform(-6, 6, (R * C, 3)).astype(np.float32)
+    mask = np.zeros(R * C, bool)
+    rel = np.zeros(R * C, np.float32)
+    for r in range(R):
+        n = rng.integers(int(fill * C * 0.5), C + 1)
+        mask[r * C : r * C + n] = True
+        rel[r * C : (r + 1) * C] = r + 0.05
+    return xyz, rel, mask
+
+
+def test_surf_grid_matches_two_pass():
+    """surf_correspondences_grid must agree EXACTLY (indices and
+    validity) with the layout-agnostic two-pass search on a grid-layout
+    cloud — it is the same brute-force mathematics reorganised around the
+    ring slots, including tie-break order."""
+    rng = np.random.default_rng(7)
+    R, C = 8, 64
+    xyz, rel, mask = _grid_cloud(rng, R, C)
+    ref = PointCloud(xyz=jnp.asarray(xyz), rel=jnp.asarray(rel),
+                     mask=jnp.asarray(mask))
+    q = rng.uniform(-6, 6, (96, 3)).astype(np.float32)
+    qm = np.ones(96, bool)
+    qm[90:] = False
+    old = knn.surf_correspondences(jnp.asarray(q), jnp.asarray(qm), ref,
+                                   tile=128)
+    new = knn.surf_correspondences_grid(jnp.asarray(q), jnp.asarray(qm),
+                                        ref, R, rings_per_tile=2)
+    ov, nv = np.asarray(old.valid), np.asarray(new.valid)
+    assert (ov == nv).all()
+    assert ov.any()  # non-degenerate fixture
+    for name in ("a_idx", "b_idx", "c_idx"):
+        o = np.asarray(getattr(old, name))[ov]
+        n = np.asarray(getattr(new, name))[ov]
+        assert (o == n).all(), name
+
+
+def test_surf_grid_empty_ref():
+    rng = np.random.default_rng(8)
+    R, C = 4, 32
+    ref = PointCloud(xyz=jnp.zeros((R * C, 3)), rel=jnp.zeros(R * C),
+                     mask=jnp.zeros(R * C, bool))
+    q = rng.uniform(-5, 5, (16, 3)).astype(np.float32)
+    out = knn.surf_correspondences_grid(jnp.asarray(q),
+                                        jnp.ones(16, bool), ref, R)
+    assert not np.asarray(out.valid).any()

@@ -53,3 +53,55 @@ def test_voxel_empty():
         jnp.asarray(pts), jnp.zeros(8), jnp.asarray(mask), 0.5, 16
     )
     assert not np.asarray(m).any()
+
+
+def test_voxel_rings_grid_layout():
+    """Per-ring downsample: same voxels as per-ring flat calls, slotted
+    into the (R, C) grid with a valid prefix per ring."""
+    from light_loam_tpu.ops.voxel import voxel_downsample_rings
+
+    rng = np.random.default_rng(11)
+    R, H, C = 4, 64, 32
+    xyz = rng.uniform(-4, 4, (R, H, 3)).astype(np.float32)
+    rel = np.broadcast_to(
+        np.arange(R, dtype=np.float32)[:, None], (R, H)
+    ).copy()
+    mask = rng.random((R, H)) < 0.7
+    gx, gr, gm = voxel_downsample_rings(
+        jnp.asarray(xyz), jnp.asarray(rel), jnp.asarray(mask), 0.5, C
+    )
+    gx, gr, gm = np.asarray(gx), np.asarray(gr), np.asarray(gm)
+    for r in range(R):
+        fx, fr, fm, _ = voxel_downsample(
+            jnp.asarray(xyz[r]), jnp.asarray(rel[r]), jnp.asarray(mask[r]),
+            0.5, H,
+        )
+        fx, fm = np.asarray(fx), np.asarray(fm)
+        n = fm.sum()
+        if n <= C:
+            assert gm[r].sum() == n
+            np.testing.assert_allclose(gx[r][: n], fx[: n], rtol=1e-6)
+        else:
+            assert gm[r].sum() == C  # decimated, uniform stride
+            kept = fx[(np.arange(C) * n) // C]
+            np.testing.assert_allclose(gx[r][:C], kept, rtol=1e-6)
+        # valid prefix
+        assert not gm[r][gm[r].argmin():].any() or gm[r].all()
+
+
+def test_voxel_rings_overflow_decimates_uniformly():
+    from light_loam_tpu.ops.voxel import voxel_downsample_rings
+
+    R, H, C = 1, 128, 16
+    # 128 distinct voxels on a line -> n=128 > C=16
+    xyz = np.zeros((R, H, 3), np.float32)
+    xyz[0, :, 0] = np.arange(H) * 1.0
+    mask = np.ones((R, H), bool)
+    gx, _, gm = voxel_downsample_rings(
+        jnp.asarray(xyz), jnp.zeros((R, H)), jnp.asarray(mask), 0.5, C
+    )
+    gm = np.asarray(gm)
+    assert gm[0].sum() == C
+    xs = np.sort(np.asarray(gx)[0, :, 0])
+    gaps = np.diff(xs)
+    assert gaps.max() <= 2 * gaps.min() + 1e-6  # uniform coverage
