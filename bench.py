@@ -246,7 +246,14 @@ def bench_batched(cfg, frames):
     log(f"batched blocked-per-step: {blocked_ms:.2f} ms/step")
 
     fps = N_TIMED * BATCH / dt
-    step_flops = flops_of(batched_frame_step, state, *puts[0], cfg)
+    # Cost analysis needs an AOT .lower().compile() — a SECOND multi-
+    # minute remote compile of the big vmapped program through this
+    # harness's tunnel, which can blow the whole bench budget.  The
+    # single-stream mode already carries the FLOP/MFU breakdown from its
+    # three small programs; only compute it here when explicitly asked.
+    step_flops = None
+    if os.environ.get("LLT_BENCH_FLOPS") == "1":
+        step_flops = flops_of(batched_frame_step, state, *puts[0], cfg)
     mfu = None
     if step_flops:
         # fps counts frames (=lanes·steps); flops are per step of BATCH lanes
