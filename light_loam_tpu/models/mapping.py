@@ -381,7 +381,12 @@ def mapping_step(
     use_vote = (cfg.vote_mode != "off") and (
         state.frame > cfg.vote_start_frame
     )
-    for _ in range(cfg.outer_iterations):
+
+    # One lax.scan body instead of a Python unroll — same rationale as
+    # odometry_step's re-association loop: the body dominates the HLO and
+    # unrolling it only multiplied compile time.
+    def _outer(carry, _):
+        q_w, t_w, n_cf, n_sf = carry
         d_c, near_c = neighbours(stack_c_xyz, local_c_xyz, local_c_mask, q_w, t_w)
         ef = line_fit_factors(
             stack_c_xyz, stack_c_mask & big_enough, d_c, near_c, cfg
@@ -422,6 +427,12 @@ def mapping_step(
         )
         n_cf = jnp.sum(ef.mask.astype(jnp.int32))
         n_sf = jnp.sum(pf.mask.astype(jnp.int32))
+        return (q_w, t_w, n_cf, n_sf), None
+
+    (q_w, t_w, n_cf, n_sf), _ = jax.lax.scan(
+        _outer, (q_w, t_w, n_cf, n_sf), None,
+        length=cfg.outer_iterations,
+    )
 
     # 5. refresh odom→map correction (ref:119-123)
     q_wm = quat.quat_normalize(

@@ -128,7 +128,15 @@ def odometry_step(
     corner_valid = jnp.zeros_like(sharp.mask)
     plane_valid = jnp.zeros_like(flat.mask)
 
-    for _ in range(cfg.outer_iterations):
+    # The re-association loop runs as ONE lax.scan body instead of a
+    # Python unroll: the body (kNN tiles + vote + LM solve) is by far the
+    # largest subgraph in the program, and unrolling it outer_iterations
+    # times made XLA compile that graph 6x over for zero runtime benefit
+    # (iterations are strictly sequential).  Measured on the remote-TPU
+    # harness this cuts whole-pipeline compile time severalfold; runtime
+    # semantics are identical (static trip count, same body).
+    def _outer(carry, _):
+        q, t, corner_valid, plane_valid = carry
         sharp_sel, s_sharp = _transform_to_start(
             q, t, sharp, cfg.distortion, scan_period
         )
@@ -219,8 +227,12 @@ def odometry_step(
             n_iterations=cfg.inner_iterations,
             huber_delta=cfg.huber_delta,
         )
-        corner_valid = cm.valid
-        plane_valid = plane_mask
+        return (q, t, cm.valid, plane_mask), None
+
+    (q, t, corner_valid, plane_valid), _ = jax.lax.scan(
+        _outer, (q, t, corner_valid, plane_valid), None,
+        length=cfg.outer_iterations,
+    )
 
     # world pose integration (laserOdometry.cpp:830-831)
     t_w = state.t_w + quat.quat_rotate(state.q_w, t)
