@@ -43,20 +43,34 @@ def main():
     tier = os.environ.get("LLT_MATMUL_PRECISION", "highest")
     log(f"devices: {jax.devices()}  precision tier: {tier}")
 
+    mode = os.environ.get("LLT_ACC_MODE", "loop")
+    n_frames = int(os.environ.get("LLT_ACC_FRAMES", "48" if mode == "loop"
+                                  else "100"))
     radius = 25.0
-    n_frames = int(os.environ.get("LLT_ACC_FRAMES", "48"))
-    world = World.loop(seed=5, radius=radius)
     frames = []
     truth = []
-    for i in range(n_frames):
-        th = 2 * np.pi * i / n_frames
-        pos = np.array([radius * np.sin(th), radius * (1 - np.cos(th)), 0.0])
-        pts = simulate_scan(world, pos, sensor_yaw=th, n_azimuth=1800,
-                            noise=0.01, seed=500 + i)
-        frames.append(pad_cloud(pts, cfg.scan.max_points))
-        truth.append(pos)
+    if mode == "loop":
+        world = World.loop(seed=5, radius=radius)
+        for i in range(n_frames):
+            th = 2 * np.pi * i / n_frames
+            pos = np.array([radius * np.sin(th),
+                            radius * (1 - np.cos(th)), 0.0])
+            pts = simulate_scan(world, pos, sensor_yaw=th, n_azimuth=1800,
+                                noise=0.01, seed=500 + i)
+            frames.append(pad_cloud(pts, cfg.scan.max_points))
+            truth.append(pos)
+        path_len = 2 * np.pi * radius
+    else:  # straight: 1 m/frame down the urban corridor
+        world = World.urban(seed=0)
+        for i in range(n_frames):
+            pos = np.array([1.0 * i, 0.0, 0.0])
+            pts = simulate_scan(world, pos, n_azimuth=1800,
+                                noise=0.01, seed=500 + i)
+            frames.append(pad_cloud(pts, cfg.scan.max_points))
+            truth.append(pos)
+        path_len = 1.0 * (n_frames - 1)
     truth = np.asarray(truth)
-    log(f"simulated {n_frames} loop frames (~{int(frames[0][1].sum())} pts)")
+    log(f"simulated {n_frames} {mode} frames (~{int(frames[0][1].sum())} pts)")
 
     t0 = time.time()
     pipe = Pipeline(cfg)
@@ -72,9 +86,8 @@ def main():
     err = est[:n] - truth[:n]
     ate = float(np.sqrt((err ** 2).sum(1).mean()))
     closure = float(np.linalg.norm(err[n - 1]))
-    path_len = 2 * np.pi * radius
     record = {
-        "metric": "loop48_ate_rmse",
+        "metric": f"{mode}{n_frames}_ate_rmse",
         "value": round(ate, 4),
         "unit": "m",
         "ate_pct_of_path": round(100 * ate / path_len, 4),
