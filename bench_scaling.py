@@ -191,6 +191,7 @@ def strong_scaling_mapping(cfg, device_counts, n_steps, pinned=False):
                      "step_ms": round(1000 * dt / n_steps, 3)})
         log(f"strong n={n}: {1000*dt/n_steps:.1f} ms/step")
     t1 = rows[0]["step_ms"]
+    n1 = rows[0]["devices"]
     for r in rows:
         r["speedup"] = round(t1 / r["step_ms"], 4)
         if pinned:
@@ -198,7 +199,11 @@ def strong_scaling_mapping(cfg, device_counts, n_steps, pinned=False):
             # wall-neutral; slowdown vs t1 is partition+collective overhead
             r["efficiency"] = round(t1 / r["step_ms"], 4)
         else:
-            r["efficiency"] = round(t1 / (r["devices"] * r["step_ms"]), 4)
+            # normalize to the FIRST measured count like the weak path —
+            # --devices need not start at 1
+            r["efficiency"] = round(
+                t1 * n1 / (r["devices"] * r["step_ms"]), 4
+            )
     return rows
 
 

@@ -125,15 +125,20 @@ class KittiSequence:
             return False
 
         def worker():
-            for i in range(len(self)):
-                if stop.is_set():
-                    return
-                xyz, _inten, mask = read_lidar_bin_padded(
-                    self.frame_path(i), capacity
-                )
-                if not put_checked((self.times[i], xyz, mask)):
-                    return
-            put_checked(None)
+            try:
+                for i in range(len(self)):
+                    if stop.is_set():
+                        return
+                    xyz, _inten, mask = read_lidar_bin_padded(
+                        self.frame_path(i), capacity
+                    )
+                    if not put_checked((self.times[i], xyz, mask)):
+                        return
+                put_checked(None)
+            except BaseException as e:  # noqa: BLE001 - surfaced to consumer
+                # a dead reader must not leave the consumer blocked on
+                # q.get() forever: ship the exception as the sentinel
+                put_checked(e)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -142,6 +147,8 @@ class KittiSequence:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

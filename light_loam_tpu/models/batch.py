@@ -54,8 +54,11 @@ def batched_frame_step(
 
     import dataclasses
 
-    # vmap of pallas_call lowers poorly; the XLA vote path vmaps cleanly
+    # vmap of pallas_call lowers poorly; the XLA vote path vmaps cleanly.
+    # The mapping-stage vote (MappingConfig.vote_mode != "off") runs
+    # through the same kernels, so its backend is forced too.
     odo_cfg = dataclasses.replace(cfg.odometry, vote_backend="xla")
+    map_cfg = dataclasses.replace(cfg.mapping, vote_backend="xla")
 
     def one(odo_state, map_state, xyz, mask):
         feats = extract_features(xyz, mask, cfg.scan)
@@ -68,7 +71,7 @@ def batched_frame_step(
             odo_state.surf_last,
             odo.q_w,
             odo.t_w,
-            cfg.mapping,
+            map_cfg,
         )
         return odo_state, map_state, odo, mout
 

@@ -85,6 +85,7 @@ class Pipeline:
         self.timers = StageTimers(budget_ms=self.cfg.frame_budget_ms)
         self._pending_map_out = None
         self._pending_map_state = None
+        self._pending_kf = None
         self._last_map_pose = (
             np.asarray(quat.quat_identity()),
             np.zeros(3, np.float32),
@@ -111,6 +112,20 @@ class Pipeline:
             # trajectory is exact in async mode too
             self._map_trajectory.append(np.asarray(out.t_w).copy())
             self._map_quats.append(np.asarray(out.q_w).copy())
+            # keyframes buffer at retirement too, so the mapped pose, the
+            # odometry pose and the surf stack all belong to the SAME
+            # frame (buffering at dispatch paired the current frame's
+            # cloud/odometry with the PREVIOUS retired pose in async
+            # mode, and duplicated traj indices under drops)
+            if self._pending_kf is not None:
+                q_odo, t_odo, sx, sm = self._pending_kf
+                self._keyframes.append((
+                    np.asarray(out.q_w), np.asarray(out.t_w),
+                    sx, sm, len(self._map_trajectory) - 1, q_odo, t_odo,
+                ))
+                if len(self._keyframes) > 16:
+                    self._keyframes.pop(0)
+                self._pending_kf = None
             # saturation watch: the voxel-dedup store drops overflow
             # silently; surface it for operators (capacity should be
             # raised, or the sequence has outgrown the cube window)
@@ -171,6 +186,13 @@ class Pipeline:
                     )
                 self._pending_map_out = map_out
                 self._pending_map_state = new_state
+                # stash keyframe material for THIS step (the odometry
+                # pose it consumed + its surf stack); buffered with the
+                # mapped pose when the step retires
+                self._pending_kf = (
+                    np.asarray(odo.q_w), np.asarray(odo.t_w),
+                    *self._keyframe_stack(),
+                )
                 mapped = True
 
         result = FrameResult(
@@ -184,14 +206,13 @@ class Pipeline:
             # async mode: this is the last *retired* pose (stale by up to
             # one step, as documented on PipelineConfig.sync_mapping)
             result.map_q, result.map_t = self._last_map_pose
-            self._buffer_keyframe(result.map_q, result.map_t)
         self.frame += 1
         self.timers.frame_done()
         return result
 
     # -- windowed refinement (models/refine.py) -------------------------
     def refine_recent_keyframes(
-        self, n_keyframes: int = 4, stack_points: int = 2048,
+        self, n_keyframes: int = 4,
         n_landmarks: int = 512, n_iterations: int = 4,
         apply: bool = False,
     ):
@@ -200,8 +221,10 @@ class Pipeline:
         a capability beyond the reference's frame-at-a-time back end).
 
         Returns (q (K,4), t (K,3)) refined poses for the stored window,
-        or None if fewer than 2 keyframes are buffered.  Keyframes are
-        buffered automatically for every mapped frame.
+        or None if fewer than 2 keyframes are buffered.  A keyframe is
+        buffered automatically for every RETIRED mapping step, carrying
+        that step's mapped pose, odometry pose and surf stack (all of the
+        same frame, in async/drop regimes too).
 
         ``apply=True`` integrates the result: the stored keyframes and the
         mapped trajectory rows they came from are rewritten with the
@@ -235,16 +258,20 @@ class Pipeline:
             base = len(self._keyframes) - K
             for i in range(K):
                 kf = self._keyframes[base + i]
-                self._keyframes[base + i] = (q[i], t[i], kf[2], kf[3], kf[4])
+                self._keyframes[base + i] = (q[i], t[i], *kf[2:])
                 idx = kf[4]
                 if idx is not None and 0 <= idx < len(self._map_trajectory):
                     self._map_trajectory[idx] = t[i].copy()
                     self._map_quats[idx] = q[i].copy()
             self._last_map_pose = (q[-1].copy(), t[-1].copy())
             # re-anchor the odom→map correction on the refined newest pose
-            # so the next mapping step's initial guess continues from it
-            q_odo = jnp.asarray(self._last_odo_pose[0])
-            t_odo = jnp.asarray(self._last_odo_pose[1])
+            # — paired with the odometry pose OF THAT SAME FRAME (stored
+            # with the keyframe; _last_odo_pose can be a later frame's in
+            # async/drop regimes, which would fold the intervening motion
+            # into the correction)
+            newest = self._keyframes[-1]
+            q_odo = jnp.asarray(newest[5])
+            t_odo = jnp.asarray(newest[6])
             q_wm = quat.quat_normalize(
                 quat.quat_multiply(
                     jnp.asarray(q[-1]), quat.quat_inverse(q_odo)
@@ -254,7 +281,9 @@ class Pipeline:
             self.map_state = self.map_state._replace(q_wm=q_wm, t_wm=t_wm)
         return q, t
 
-    def _buffer_keyframe(self, q, t, stack_points: int = 2048):
+    def _keyframe_stack(self, stack_points: int = 2048):
+        """(stack_xyz, stack_mask) for the surf cloud a mapping step is
+        about to consume — captured at dispatch, buffered at retirement."""
         from light_loam_tpu.ops.voxel import voxel_downsample
 
         surf = self.odo_state.surf_last
@@ -262,15 +291,7 @@ class Pipeline:
             surf.xyz, surf.rel, surf.mask,
             self.cfg.mapping.plane_resolution, stack_points,
         )
-        # last element: index of this keyframe's row in the mapped-pose
-        # history, so refine_recent_keyframes(apply=True) can rewrite it
-        traj_idx = len(self._map_trajectory) - 1 if self._map_trajectory else None
-        self._keyframes.append(
-            (np.asarray(q), np.asarray(t), np.asarray(sx), np.asarray(sm),
-             traj_idx)
-        )
-        if len(self._keyframes) > 16:
-            self._keyframes.pop(0)
+        return np.asarray(sx), np.asarray(sm)
 
     # -- checkpoint / resume (SURVEY §5: snapshot map + pose state) ------
     def save(self, path: str) -> None:
@@ -301,6 +322,12 @@ class Pipeline:
         traj = extra.get("map_trajectory")
         self._map_trajectory = [] if traj is None else list(traj)
         quats = extra.get("map_quats")
+        if quats is None and self._map_trajectory:
+            # legacy checkpoint (trajectory saved before quats were):
+            # identity rotations keep the lists in lockstep so
+            # mapped_trajectory()/save() don't crash on np.stack
+            quats = [np.array([1.0, 0, 0, 0], np.float32)
+                     for _ in self._map_trajectory]
         self._map_quats = [] if quats is None else list(quats)
         # restore containment fallbacks (older checkpoints without the
         # extras fall back to the restored odometry/mapping state poses)

@@ -257,13 +257,23 @@ def sharded_mapping_step(
                 _slice_for_device(near_c, n),
                 cfg,
             )
-            # plane factors: fit replicated over the full stack so the
-            # scan-to-map vote (laserMapping.cpp:2057-2072) chunks
-            # identically to the single-device step, then slice
-            pf_full = plane_fit_factors(
-                stack_s_xyz, stack_s_mask & big_enough, d_s, near_s, cfg
-            )
-            if cfg.vote_mode != "off":
+            if cfg.vote_mode == "off":
+                # no vote: each device only needs its own query slice
+                pf = plane_fit_factors(
+                    _slice_for_device(stack_s_xyz, n),
+                    _slice_for_device(stack_s_mask & big_enough, n),
+                    _slice_for_device(d_s, n),
+                    _slice_for_device(near_s, n),
+                    cfg,
+                )
+            else:
+                # plane factors: fit replicated over the full stack so
+                # the scan-to-map vote (laserMapping.cpp:2057-2072)
+                # chunks identically to the single-device step, then
+                # slice
+                pf_full = plane_fit_factors(
+                    stack_s_xyz, stack_s_mask & big_enough, d_s, near_s, cfg
+                )
                 use_vote = state.frame > cfg.vote_start_frame
                 chunk_cap = (
                     cfg.stack_surf_capacity // cfg.vote_regions
@@ -287,9 +297,9 @@ def sharded_mapping_step(
                         use_vote & cfg.vote_apply_weights, w, pf_full.weight
                     ),
                 )
-            pf = jax.tree_util.tree_map(
-                lambda x: _slice_for_device(x, n), pf_full
-            )
+                pf = jax.tree_util.tree_map(
+                    lambda x: _slice_for_device(x, n), pf_full
+                )
             q_w, t_w, _cost = lm_solve(
                 q_w, t_w, FactorSet(edge=ef, plane_norm=pf),
                 n_iterations=cfg.inner_iterations,

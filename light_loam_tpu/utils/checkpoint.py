@@ -30,9 +30,24 @@ def _flatten(prefix: str, tree: Any, out: dict) -> None:
 
 def _unflatten(prefix: str, template: Any, data) -> Any:
     leaves, treedef = jax.tree_util.tree_flatten(template)
+    # Leaves are stored positionally; fields appended to a state type
+    # since the snapshot show up as missing TRAILING indices and fall
+    # back to the template (init) value.  A missing index FOLLOWED by a
+    # present one means the field order changed — that cannot be mapped
+    # safely, so it stays an error.
+    present = [f"{prefix}__{i}" in data for i in range(len(leaves))]
+    if any(p and not q for p, q in zip(present[1:], present[:-1])):
+        raise ValueError(
+            f"checkpoint is missing a non-trailing {prefix} leaf — "
+            "state field order changed since the snapshot?"
+        )
     new_leaves = []
     for i, leaf in enumerate(leaves):
-        arr = data[f"{prefix}__{i}"]
+        key = f"{prefix}__{i}"
+        if not present[i]:
+            new_leaves.append(jnp.asarray(leaf))  # appended-field default
+            continue
+        arr = data[key]
         if arr.shape != np.asarray(leaf).shape:
             raise ValueError(
                 f"checkpoint shape mismatch at {prefix}[{i}]: "

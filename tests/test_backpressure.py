@@ -95,6 +95,17 @@ def test_slow_mapping_drops_frames_and_keeps_trajectory_exact(monkeypatch):
     assert pipe.frame == n_frames
     assert pipe.diverged_frames == 0
 
+    # keyframes buffer at RETIREMENT: each stored keyframe carries the
+    # retired step's own mapped pose and a unique trajectory row index
+    # (buffering at dispatch paired the current cloud with the previous
+    # retired pose and duplicated traj indices under drops)
+    assert len(pipe._keyframes) == n_mapped
+    idxs = [kf[4] for kf in pipe._keyframes]
+    assert idxs == list(range(n_mapped)), idxs
+    for kf in pipe._keyframes:
+        np.testing.assert_allclose(kf[1], traj[kf[4]], atol=0)
+        assert np.isfinite(kf[5]).all() and np.isfinite(kf[6]).all()
+
 
 def test_sync_mode_never_drops():
     cfg = PROFILES["hdl64-small"]  # sync_mapping=True default

@@ -58,6 +58,29 @@ def test_kitti_sequence_reader(mini_kitti):
     np.testing.assert_allclose(xyz[: len(pts)], pts[:, :3], atol=1e-6)
 
 
+def test_padded_frames_surfaces_reader_errors(tmp_path):
+    """A missing/unreadable .bin must raise in the consumer, not strand it
+    on q.get() forever after the reader thread dies (io/kitti.py worker
+    ships the exception as the queue sentinel)."""
+    from light_loam_tpu.io.kitti import KittiSequence
+
+    seq_dir = tmp_path / "sequences" / "99"
+    vel_dir = tmp_path / "velodyne" / "sequences" / "99" / "velodyne"
+    os.makedirs(seq_dir), os.makedirs(vel_dir)
+    np.savetxt(seq_dir / "times.txt", np.array([0.0, 0.1, 0.2]), fmt="%.6f")
+    for i in range(2):  # frame 2's .bin is missing
+        rec = np.zeros((100, 4), np.float32)
+        rec[:, 0] = np.arange(100) + 1.0
+        rec.tofile(vel_dir / f"{i:06d}.bin")
+
+    seq = KittiSequence(str(tmp_path), "99")
+    got = []
+    with pytest.raises(FileNotFoundError):
+        for item in seq.padded_frames(capacity=256):
+            got.append(item)
+    assert len(got) == 2  # both real frames arrived before the error
+
+
 @pytest.mark.slow
 def test_run_kitti_end_to_end(mini_kitti, tmp_path):
     from light_loam_tpu.io.evaluation import ate_rmse

@@ -75,7 +75,7 @@ def test_refinement_apply_recovers_corrupted_keyframes():
     for i in range(K - 1):
         kf = pipe._keyframes[base + i]
         t_bad = (kf[1] + rng.uniform(-0.12, 0.12, 3)).astype(np.float32)
-        pipe._keyframes[base + i] = (kf[0], t_bad, kf[2], kf[3], kf[4])
+        pipe._keyframes[base + i] = (kf[0], t_bad, *kf[2:])
         pipe._map_trajectory[kf[4]] = t_bad
         rows.append(kf[4])
     corrupt_traj = pipe.mapped_positions().copy()
