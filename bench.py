@@ -215,7 +215,10 @@ def bench_batched(cfg, frames):
     # (each stacked pair is ~13 MB at B=8), while the compiled program's
     # runtime is data-independent, so cycling costs the measurement
     # nothing and buys 4x the timed steps for dispatch amortization.
-    N_STAGE = 6
+    # total staged bytes stay ~constant as BATCH grows (B=8 -> 6 steps,
+    # B=16 -> 3): staging is the budget hog, and cycling fewer distinct
+    # steps costs the data-independent runtime measurement nothing
+    N_STAGE = max(2, 48 // BATCH)
     N_TIMED = 40
     puts = []
     for i in range(N_STAGE):

@@ -218,6 +218,11 @@ def main():
                     help="comma list of device counts (default: 1,2,4,..,N)")
     ap.add_argument("--lanes-per-device", type=int, default=2)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--axes", default="weak,strong",
+                    help="comma subset of {weak,strong} to measure; the "
+                         "other axis is carried over from --out if it "
+                         "already exists (re-measure one axis without "
+                         "paying for both)")
     ap.add_argument("--out", default="SCALING.json")
     ap.add_argument("--profile", default="hdl64-small",
                     help="pipeline profile (hdl64-small keeps CPU compile sane)")
@@ -239,10 +244,21 @@ def main():
         raise SystemExit(f"no usable device counts (devices={n_dev})")
     log(f"platform={jax.default_backend()} devices={n_dev} counts={counts}")
 
-    weak = weak_scaling_batched(cfg, counts, args.lanes_per_device,
-                                args.steps, pinned=args.pinned)
-    strong = strong_scaling_mapping(cfg, counts, args.steps,
-                                    pinned=args.pinned)
+    axes = {a.strip() for a in args.axes.split(",") if a.strip()}
+    if not axes <= {"weak", "strong"}:
+        raise SystemExit(f"unknown axes {axes - {'weak', 'strong'}}")
+    prior = {}
+    if axes != {"weak", "strong"} and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+    weak = (weak_scaling_batched(cfg, counts, args.lanes_per_device,
+                                 args.steps, pinned=args.pinned)
+            if "weak" in axes
+            else prior.get("weak_scaling_batched", []))
+    strong = (strong_scaling_mapping(cfg, counts, args.steps,
+                                     pinned=args.pinned)
+              if "strong" in axes
+              else prior.get("strong_scaling_mapping", []))
 
     if args.pinned:
         note = (
