@@ -35,37 +35,59 @@ def log(*a):
 def main():
     import jax
 
-    from light_loam_tpu.models.pipeline import Pipeline
-    from light_loam_tpu.config import HDL64_KITTI
+    # sitecustomize preloads jax with the platform snapshotted from the
+    # container env, so `JAX_PLATFORMS=cpu` alone does not take — the
+    # live config must be updated too (same dance as tests/conftest.py;
+    # without this the axon backend initializes and hangs when the TPU
+    # tunnel is down).
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from light_loam_tpu.models.pipeline import PROFILES, Pipeline
     from light_loam_tpu.utils.synthetic import World, pad_cloud, simulate_scan
 
-    cfg = HDL64_KITTI
+    # sensor geometry per profile (BASELINE eval configs: the flagship
+    # HDL-64 protocol plus the VLP-16 sparse one)
+    profile = os.environ.get("LLT_ACC_PROFILE", "hdl64")
+    beams = {
+        "hdl64": dict(n_rings=64, lower_deg=-24.9, upper_deg=2.0),
+        "vlp16": dict(n_rings=16, lower_deg=-15.0, upper_deg=15.0),
+        "hdl32": dict(n_rings=32, lower_deg=-30.67, upper_deg=10.67),
+    }[profile]
+    cfg = PROFILES[profile]
     tier = os.environ.get("LLT_MATMUL_PRECISION", "highest")
-    log(f"devices: {jax.devices()}  precision tier: {tier}")
+    log(f"devices: {jax.devices()}  precision tier: {tier}  "
+        f"profile: {profile}")
 
     mode = os.environ.get("LLT_ACC_MODE", "loop")
-    n_frames = int(os.environ.get("LLT_ACC_FRAMES", "48" if mode == "loop"
-                                  else "100"))
+    # long-horizon: LLT_ACC_REVS>1 drives REVS full revolutions of the
+    # ring road (frame count scales with it) — revisits mapped territory,
+    # so map-consistency errors compound instead of averaging out.
+    revs = int(os.environ.get("LLT_ACC_REVS", "1"))
+    n_frames = int(os.environ.get("LLT_ACC_FRAMES", str(48 * revs)
+                                  if mode == "loop" else "100"))
     radius = 25.0
     frames = []
     truth = []
+    yaws = []
     if mode == "loop":
         world = World.loop(seed=5, radius=radius)
         for i in range(n_frames):
-            th = 2 * np.pi * i / n_frames
+            th = 2 * np.pi * revs * i / n_frames
+            yaws.append(th)
             pos = np.array([radius * np.sin(th),
                             radius * (1 - np.cos(th)), 0.0])
             pts = simulate_scan(world, pos, sensor_yaw=th, n_azimuth=1800,
-                                noise=0.01, seed=500 + i)
+                                noise=0.01, seed=500 + i, **beams)
             frames.append(pad_cloud(pts, cfg.scan.max_points))
             truth.append(pos)
-        path_len = 2 * np.pi * radius
+        path_len = 2 * np.pi * radius * revs
     else:  # straight: 1 m/frame down the urban corridor
         world = World.urban(seed=0)
         for i in range(n_frames):
             pos = np.array([1.0 * i, 0.0, 0.0])
             pts = simulate_scan(world, pos, n_azimuth=1800,
-                                noise=0.01, seed=500 + i)
+                                noise=0.01, seed=500 + i, **beams)
             frames.append(pad_cloud(pts, cfg.scan.max_points))
             truth.append(pos)
         path_len = 1.0 * (n_frames - 1)
@@ -81,11 +103,31 @@ def main():
     pipe._retire_mapping(wait=True)
     wall = time.time() - t0
 
-    est = pipe.mapped_positions()
+    est_q, est = pipe.mapped_trajectory()
     n = min(len(est), len(truth))
     err = est[:n] - truth[:n]
     ate = float(np.sqrt((err ** 2).sum(1).mean()))
     closure = float(np.linalg.norm(err[n - 1]))
+
+    # KITTI relative errors (the paper's headline metric) when the path
+    # offers >=100 m segments; GT orientation is yaw-about-z (loop) or
+    # identity (straight)
+    kitti = None
+    if path_len >= 110.0:
+        from light_loam_tpu.io.evaluation import (
+            kitti_relative_errors, poses_from_quat_trans,
+        )
+        gt_yaw = np.asarray(yaws[:n]) if yaws else np.zeros(n)
+        gt_q = np.stack([np.zeros(n), np.zeros(n),
+                         np.sin(gt_yaw / 2), np.cos(gt_yaw / 2)], axis=1)
+        k = kitti_relative_errors(
+            poses_from_quat_trans(est_q[:n], est[:n]),
+            poses_from_quat_trans(gt_q, truth[:n]),
+        )
+        if k.n_segments:
+            kitti = {"t_err_percent": round(k.t_err_percent, 4),
+                     "r_err_deg_per_m": round(k.r_err_deg_per_m, 6),
+                     "n_segments": k.n_segments}
     record = {
         "metric": f"{mode}{n_frames}_ate_rmse",
         "value": round(ate, 4),
@@ -93,6 +135,9 @@ def main():
         "ate_pct_of_path": round(100 * ate / path_len, 4),
         "closure_m": round(closure, 4),
         "frames": n,
+        "revs": revs if mode == "loop" else None,
+        "kitti": kitti,
+        "profile": profile,
         "precision": tier,
         "platform": jax.devices()[0].platform,
         "wall_s": round(wall, 1),
