@@ -53,6 +53,7 @@ def main():
         "hdl64": dict(n_rings=64, lower_deg=-24.9, upper_deg=2.0),
         "vlp16": dict(n_rings=16, lower_deg=-15.0, upper_deg=15.0),
         "hdl32": dict(n_rings=32, lower_deg=-30.67, upper_deg=10.67),
+        "m2dgr": dict(n_rings=32, lower_deg=-25.0, upper_deg=15.0),
     }[profile]
     cfg = PROFILES[profile]
     tier = os.environ.get("LLT_MATMUL_PRECISION", "highest")

@@ -53,12 +53,26 @@ def batched_frame_step(
     """One SLAM frame for B independent sequences."""
 
     import dataclasses
+    import os
 
-    # vmap of pallas_call lowers poorly; the XLA vote path vmaps cleanly.
-    # The mapping-stage vote (MappingConfig.vote_mode != "off") runs
-    # through the same kernels, so its backend is forced too.
-    odo_cfg = dataclasses.replace(cfg.odometry, vote_backend="xla")
-    map_cfg = dataclasses.replace(cfg.mapping, vote_backend="xla")
+    # The pallas vote now carries a custom vmap rule (batch folded into
+    # the kernel grid, ops/pallas_vote.py), so both backends vmap
+    # cleanly.  "auto" resolves to the measured-best batched default
+    # (XLA: its vote fuses into the surrounding batched program, while
+    # the pallas launch is a separate program boundary per step);
+    # explicit config values and LLT_BATCH_VOTE_BACKEND are honored —
+    # the latter is the A/B knob for re-measuring on real hardware.
+    forced = os.environ.get("LLT_BATCH_VOTE_BACKEND", "").strip()
+
+    def pick(backend: str) -> str:
+        if forced:
+            return forced
+        return "xla" if backend == "auto" else backend
+
+    odo_cfg = dataclasses.replace(
+        cfg.odometry, vote_backend=pick(cfg.odometry.vote_backend))
+    map_cfg = dataclasses.replace(
+        cfg.mapping, vote_backend=pick(cfg.mapping.vote_backend))
 
     def one(odo_state, map_state, xyz, mask):
         feats = extract_features(xyz, mask, cfg.scan)

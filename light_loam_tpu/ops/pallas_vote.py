@@ -17,10 +17,11 @@ semantics (pair valid-mask, no self-votes).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -68,20 +69,15 @@ def _vote_kernel(src_ref, tgt_ref, valid_ref, votes_ref, *, threshold,
     votes_ref[0, 0, :] = jnp.sum(incompat.astype(jnp.float32), axis=1)
 
 
-@partial(jax.jit, static_argnames=("threshold", "resolution", "interpret"))
-def compat_votes_pallas(
+def _votes_impl(
     src: jnp.ndarray,     # (R, K, 3) chunked source points
     tgt: jnp.ndarray,     # (R, K, 3) chunked target points
     valid: jnp.ndarray,   # (R, K) validity (float or bool)
-    threshold: float = 0.96,
-    resolution: float = 1.0,
-    interpret: bool = False,
+    *,
+    threshold: float,
+    resolution: float,
+    interpret: bool,
 ) -> jnp.ndarray:
-    """Incompatibility votes per chunked correspondence — fused Pallas
-    version of the score/vote stage in ops.graphvote.simple_vote.
-
-    Returns (R, K) float32 vote counts.
-    """
     R, K, _ = src.shape
     Kp = _round_up(max(K, 128), 128)
     pad = Kp - K
@@ -114,3 +110,59 @@ def compat_votes_pallas(
         interpret=interpret,
     )(src_t, tgt_t, valid_f)
     return votes[:, 0, :K]
+
+
+@lru_cache(maxsize=None)
+def _batched_votes_fn(threshold: float, resolution: float, interpret: bool):
+    """compat-votes with a custom vmap rule.
+
+    ``jax.vmap`` of a ``pallas_call`` lowers pathologically on TPU (the
+    batch dim is pushed into every block index map), which is why the
+    batched multi-sequence model historically forced the XLA vote path
+    (models/batch.py).  The chunks are independent across BOTH the region
+    axis R and any batch axis, so the batch rule here flattens (B, R) into
+    one (B·R,)-grid launch of the SAME kernel — vmap becomes free.
+    """
+    impl = partial(_votes_impl, threshold=threshold,
+                   resolution=resolution, interpret=interpret)
+
+    @custom_vmap
+    def fn(src, tgt, valid):
+        return impl(src, tgt, valid)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, src, tgt, valid):
+        def ensure(x, b):  # broadcast unbatched operands to the batch
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+
+        src, tgt, valid = (
+            ensure(a, b) for a, b in zip((src, tgt, valid), in_batched)
+        )
+        B, R, K = valid.shape
+        out = impl(src.reshape(B * R, K, 3), tgt.reshape(B * R, K, 3),
+                   valid.reshape(B * R, K))
+        return out.reshape(B, R, K), True
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("threshold", "resolution", "interpret"))
+def compat_votes_pallas(
+    src: jnp.ndarray,     # (R, K, 3) chunked source points
+    tgt: jnp.ndarray,     # (R, K, 3) chunked target points
+    valid: jnp.ndarray,   # (R, K) validity (float or bool)
+    threshold: float = 0.96,
+    resolution: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Incompatibility votes per chunked correspondence — fused Pallas
+    version of the score/vote stage in ops.graphvote.simple_vote.
+
+    Returns (R, K) float32 vote counts.  Under ``jax.vmap`` the batch
+    axis is folded into the kernel grid (see ``_batched_votes_fn``), so
+    this is safe to call from batched programs.
+    """
+    fn = _batched_votes_fn(float(threshold), float(resolution),
+                           bool(interpret))
+    return fn(src, tgt, valid)

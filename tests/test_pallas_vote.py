@@ -75,3 +75,37 @@ def test_simple_vote_pallas_backend_matches():
         pv.compat_votes_pallas = orig
     np.testing.assert_array_equal(np.asarray(a.selected), np.asarray(b.selected))
     np.testing.assert_allclose(np.asarray(a.votes), np.asarray(b.votes), atol=1.0)
+
+
+def test_pallas_votes_custom_vmap_flattens_batch():
+    """vmap of the pallas vote must equal per-lane calls — the custom
+    batching rule folds (B, R) into one flattened kernel grid, which is
+    what lets batched programs keep the fused kernel instead of forcing
+    the XLA path (models/batch.py)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    B, R, K = 3, 4, 96
+    src = rng.uniform(-20, 20, (B, R, K, 3)).astype(np.float32)
+    tgt = src + rng.uniform(-0.5, 0.5, (B, R, K, 3)).astype(np.float32)
+    valid = (rng.random((B, R, K)) < 0.85).astype(np.float32)
+
+    fn = lambda s, t, v: compat_votes_pallas(s, t, v, interpret=True)
+    batched = np.asarray(jax.vmap(fn)(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid)))
+    singles = np.stack([
+        np.asarray(fn(jnp.asarray(src[b]), jnp.asarray(tgt[b]),
+                      jnp.asarray(valid[b])))
+        for b in range(B)
+    ])
+    np.testing.assert_allclose(batched, singles, atol=1e-5)
+
+    # unbatched operand broadcast: same tgt/valid for every lane
+    batched2 = np.asarray(jax.vmap(fn, in_axes=(0, None, None))(
+        jnp.asarray(src), jnp.asarray(tgt[0]), jnp.asarray(valid[0])))
+    singles2 = np.stack([
+        np.asarray(fn(jnp.asarray(src[b]), jnp.asarray(tgt[0]),
+                      jnp.asarray(valid[0])))
+        for b in range(B)
+    ])
+    np.testing.assert_allclose(batched2, singles2, atol=1e-5)
