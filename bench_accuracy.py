@@ -101,6 +101,8 @@ def main():
         pipe.process_frame(xyz, mask)
         if i == 0:
             log(f"first frame (incl. compiles): {time.time()-t0:.1f}s")
+        elif i % 48 == 0:  # heartbeat for multi-hour long-horizon runs
+            log(f"frame {i}/{n_frames}  ({(time.time()-t0)/i:.2f} s/frame)")
     pipe._retire_mapping(wait=True)
     wall = time.time() - t0
 
