@@ -51,7 +51,7 @@ from light_loam_tpu.models.mapping import (
     line_fit_factors,
     plane_fit_factors,
 )
-from light_loam_tpu.ops import knn
+from light_loam_tpu.ops import graphvote, knn
 from light_loam_tpu.ops.voxel import voxel_downsample
 from light_loam_tpu.solver import FactorSet, lm_solve
 

@@ -90,6 +90,41 @@ def test_sharded_matches_single_chip(n_devices):
         assert abs(n_m - n_s) <= max(10, 0.02 * n_s)
 
 
+def test_sharded_vote_mode_matches_single_chip():
+    """The scan-to-map vote path (MappingConfig.vote_mode, the latent
+    laserMapping.cpp:2057-2072 sites) must run and agree under sharding.
+    Regression: sharded_mapping_step's vote branch referenced graphvote
+    without importing it, so any vote_mode != 'off' crashed at trace time
+    on the sharded path only."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, vote_mode="simple", vote_start_frame=2)
+    world = World.urban(seed=11)
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(min(4, len(jax.devices())))
+
+    single = MappingState.init(cfg)
+    for k in range(5):
+        pos = np.array([0.5 * k, 0.0, 0.0])
+        c, s = clouds_for_frame(world, pos, rng, seed=60 + k)
+        t_odom = jnp.asarray(pos.astype(np.float32) + np.float32(0.05))
+        q_odom = quat.quat_identity()
+        sharded = shard_mapping_state(single, mesh, cfg)
+        single, out_s = mapping_step(single, c, s, q_odom, t_odom, cfg)
+        sharded, out_m = sharded_mapping_step(
+            sharded, c, s, q_odom, t_odom, cfg, mesh
+        )
+        gap = float(np.linalg.norm(np.asarray(out_m.t_w) - np.asarray(out_s.t_w)))
+        assert gap < 2e-2, f"frame {k}: sharded-vs-single gap {gap:.4f} m"
+        # once the vote engages (frame > vote_start_frame) both paths must
+        # gate the same factor population (vote chunking is replicated)
+        assert abs(int(out_m.surf_factors) - int(out_s.surf_factors)) <= max(
+            5, 0.03 * int(out_s.surf_factors)
+        )
+    # the vote actually engaged: selection dropped factors vs the raw count
+    assert int(out_s.surf_factors) > 0
+
+
 def test_sharded_state_is_actually_sharded():
     mesh = make_mesh(8)
     state = shard_mapping_state(MappingState.init(CFG), mesh, CFG)
