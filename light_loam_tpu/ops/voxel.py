@@ -69,11 +69,11 @@ def voxel_downsample(
     n = xyz.shape[0]
     major, minor = voxel_keys(xyz, mask, leaf, extra_key)
 
-    # Stable lexicographic sort: minor first, then major.
-    order_minor = jnp.argsort(minor, stable=True)
-    major_s = major[order_minor]
-    order_major = jnp.argsort(major_s, stable=True)
-    order = order_minor[order_major]
+    # Stable lexicographic sort by (major, minor) in ONE variadic sort —
+    # identical order to stable-argsort(minor) followed by
+    # stable-argsort(major), at half the sort passes and one less gather.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, _, order = lax.sort((major, minor, iota), num_keys=2, is_stable=True)
 
     major_s = major[order]
     minor_s = minor[order]
