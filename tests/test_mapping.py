@@ -223,6 +223,19 @@ def test_mapping_vote_filters_association_outliers(map_world):
     assert kept_in > 0.85, kept_in
     assert kept_out < kept_in - 0.15, (kept_out, kept_in)
 
+    # vote_apply_weights extension (opt-in; the latent reference code is
+    # selection-only): the weighted solve must run, keep the same factor
+    # population as selection-only, and still register near the truth
+    cfg_w = dataclasses.replace(cfg, vote_apply_weights=True)
+    _, out_w = mapping_step(state, c1, s1, quat.quat_identity(),
+                            jnp.asarray(true_t), cfg_w)
+    # same selection; re-association from the re-weighted intermediate
+    # pose may flip a handful of borderline gates between outer iterations
+    assert abs(int(out_w.surf_factors) - int(out_vote.surf_factors)) <= 10
+    t_err = float(np.linalg.norm(np.asarray(out_w.t_w) - true_t))
+    assert np.isfinite(np.asarray(out_w.t_w)).all()
+    assert t_err < 0.2, t_err
+
 
 def test_mapping_vote_start_frame_gates():
     """Before vote_start_frame the vote must be inert: identical factor
