@@ -139,3 +139,35 @@ def test_feature_cloud_sanity(scan):
     rel = np.asarray(out.sharp.rel)[np.asarray(out.sharp.mask)]
     rings = np.floor(rel).astype(int)
     assert rings.min() >= 0 and rings.max() < 64
+
+
+def test_occlusion_filter_branch(scan):
+    """[EXT] occlusion filter (ScanConfig.occlusion_filter, default off —
+    original LOAM's shadow-boundary/parallel-beam suppression): the ON
+    branch must actually suppress points at range discontinuities and
+    still produce a healthy feature set."""
+    import dataclasses
+
+    cfg_on = dataclasses.replace(CFG, occlusion_filter=True)
+    out_on = run_kernel(scan, cfg_on)
+    out_off = run_kernel(scan)
+
+    # the mask engages on an urban scene (boxes occlude ground/walls)
+    finite = np.isfinite(scan).all(axis=1)
+    xyz, mask = pad_cloud(scan[finite], CFG.max_points)
+    r2 = np.sum(xyz * xyz, axis=1)
+    in_mask = jnp.asarray(mask & (r2 >= CFG.minimum_range**2))
+    ring, ring_ok = F.compute_ring_ids(jnp.asarray(xyz), in_mask, CFG)
+    rel = ring.astype(jnp.float32)
+    grid = F.build_range_image(jnp.asarray(xyz), rel, ring, ring_ok, CFG)
+    occ = np.asarray(F.occlusion_mask(grid, cfg_on))
+    n_grid = int(np.asarray(grid.mask).sum())
+    assert occ.sum() > 0, "no occlusion boundaries found on urban scene"
+    assert occ.sum() < 0.3 * n_grid, "filter suppresses implausibly much"
+
+    # suppression only removes candidates: every cloud stays populated,
+    # nothing grows
+    for name in ("sharp", "less_sharp", "flat"):
+        n_on = int(np.asarray(getattr(out_on, name).mask).sum())
+        n_off = int(np.asarray(getattr(out_off, name).mask).sum())
+        assert 0 < n_on <= n_off, (name, n_on, n_off)

@@ -118,3 +118,42 @@ def test_pipeline_tracks_through_turn():
     yaw_est = 2.0 * np.arctan2(qz, qw)
     yaw_err = np.degrees(abs(yaw_est - truth_yaw[last.frame]))
     assert yaw_err < 1.5, f"turn yaw err {yaw_err} deg"
+
+
+@pytest.mark.slow
+def test_skip_frame_decimation():
+    """OdometryConfig.skip_frame_num (the reference's mapping_skip_frame
+    decimation, laserOdometry.cpp:898-919 + launch profiles): with skip=2
+    mapping must run on every other frame only while odometry still
+    tracks every frame."""
+    import dataclasses
+
+    from light_loam_tpu.models.pipeline import PROFILES, Pipeline
+    from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
+
+    base = PROFILES["hdl64-small"]
+    cfg = dataclasses.replace(
+        base, odometry=dataclasses.replace(base.odometry, skip_frame_num=2)
+    )
+    pipe = Pipeline(cfg)
+    world = World.urban(seed=2)
+    results = []
+    truth = []
+    for i in range(6):
+        pos = np.array([0.6 * i, 0.0, 0.0])
+        pts = simulate_scan(
+            world, pos, n_rings=cfg.scan.n_scans,
+            lower_deg=cfg.scan.lower_bound_deg,
+            upper_deg=cfg.scan.upper_bound_deg,
+            n_azimuth=700, noise=0.01, seed=100 + i,
+        )
+        xyz, mask = pad_cloud(pts, cfg.scan.max_points)
+        results.append(pipe.process_frame(xyz, mask))
+        truth.append(pos)
+    pipe._retire_mapping(wait=True)
+    assert [r.frame for r in results if r.mapped] == [0, 2, 4]
+    err = np.linalg.norm(results[-1].odom_t - truth[-1])
+    assert err < 0.5, err
+    # the trajectory writer sees one mapped pose per retired step
+    _, mapped_t = pipe.mapped_trajectory()
+    assert len(mapped_t) == 3
