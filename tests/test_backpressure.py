@@ -119,3 +119,40 @@ def test_sync_mode_never_drops():
         assert r.mapped
     assert pipe.dropped_mapping_frames == 0
     assert pipe.mapped_positions().shape == (4, 3)
+
+
+def test_async_no_drop_waits_instead(monkeypatch):
+    """drop_mapping_backlog=False turns the drop policy into wait-for-
+    retirement: async dispatch, but no frame is ever shed (the reference
+    without its backlog drain — every accepted frame is mapped)."""
+    cfg = dataclasses.replace(
+        PROFILES["hdl64-small"], sync_mapping=False,
+        drop_mapping_backlog=False,
+    )
+    world = World.urban(seed=17)
+
+    real_step = pl.mapping_step
+    pending_leaves = []
+
+    def slow_mapping_step(*args, **kwargs):
+        state, out = real_step(*args, **kwargs)
+        leaf = _SlowLeaf(out.t_w)
+        pending_leaves.append(leaf)
+        return state, out._replace(t_w=leaf)
+
+    monkeypatch.setattr(pl, "mapping_step", slow_mapping_step)
+
+    pipe = Pipeline(cfg)
+    n_frames = 6
+    for i in range(n_frames):
+        # leaves are never released: every dispatch would look "busy"
+        # under the drop policy, so this proves the wait path
+        pts = simulate_scan(world, np.array([0.5 * i, 0, 0]), n_azimuth=500,
+                            noise=0.01, seed=70 + i)
+        xyz, mask = pad_cloud(pts, cfg.scan.max_points)
+        pipe.process_frame(xyz, mask)
+    pipe._retire_mapping(wait=True)
+
+    assert pipe.dropped_mapping_frames == 0
+    assert len(pending_leaves) == n_frames
+    assert pipe.mapped_positions().shape == (n_frames, 3)
