@@ -420,3 +420,106 @@ def oracle_odometry_frame(
         q, t = _oracle_lm(q, t, resid, n_iterations=inner_iterations)
 
     return q, t
+
+
+def literal_full_vote(src, tgt, n_regions=10, edge_threshold=0.95,
+                      resolution=1.0, weight_balance=0.9,
+                      bug_faithful=False):
+    """Literal loop port of the reference's FULL graph-vote pipeline:
+    graph_construction_partial (laserMapping.cpp:261-319) +
+    graph_based_correspondence_vote_partial (laserMapping.cpp:321-834).
+
+    Returns {index: score} for the selected correspondences (the
+    selected_idx vector; selection_ratio is 1 and the score!=0 gate does
+    the selecting, laserMapping.cpp:682-688).
+
+    bug_faithful=True reproduces the reference's `pow(x, 1/3)` C++
+    integer-division bug in the tight pass (every triangle weight 1.0,
+    laserMapping.cpp:597); the default is the intended cube root, which
+    the reference's own first-order pass uses (`1.0/3`, :457) and the
+    kernel implements (PARITY deviation #3).
+    """
+    n = len(src)
+    src = np.asarray(src, np.float64)
+    tgt = np.asarray(tgt, np.float64)
+    tight_exp = 0.0 if bug_faithful else (1.0 / 3.0)
+    selected = {}
+    for c in range(n_regions):
+        lo = n // n_regions * c
+        hi = n if c == n_regions - 1 else n // n_regions * (c + 1)
+        k = hi - lo
+        if k <= 0:
+            continue
+        # graph_construction_partial: symmetric f32 G, zero diagonal
+        G = np.zeros((k, k), np.float32)
+        for i in range(k):
+            for j in range(i + 1, k):
+                s1 = np.linalg.norm(src[lo + i] - src[lo + j])
+                s2 = np.linalg.norm(tgt[lo + i] - tgt[lo + j])
+                gap = abs(s1 - s2)
+                G[i, j] = G[j, i] = np.float32(
+                    np.exp(-(gap * gap) / (resolution * resolution))
+                )
+        if np.linalg.norm(G) == 0:  # "Graph is not connected!" -> skip
+            continue
+        # degree / neighbor sets (edge iff G > 0.95, :398-425)
+        neighbors = [
+            [j for j in range(k) if j != i and G[i, j] > edge_threshold]
+            for i in range(k)
+        ]
+        degree = [len(nb) for nb in neighbors]
+        # first-order reliability: mean triangle geometric mean (:435-489)
+        fo = np.zeros(k)
+        num_a = 0.0
+        den_a = 0.0
+        for i in range(k):
+            if degree[i] > 1:
+                num = 0.0
+                for ai in range(degree[i]):
+                    a = neighbors[i][ai]
+                    for bi in range(ai + 1, degree[i]):
+                        b = neighbors[i][bi]
+                        if G[a, b] != 0:
+                            num += float(G[i, a] * G[i, b] * G[a, b]) ** (
+                                1.0 / 3.0
+                            )
+                den = degree[i] * (degree[i] - 1) * 0.5
+                fo[i] = num / den
+                num_a += num
+                den_a += den
+        # adaptive threshold = min(global ratio, mean score) (:490-492)
+        param_a = num_a / den_a if den_a > 0 else float("nan")
+        param_b = fo.sum() / k
+        threshold = min(param_a, param_b) if den_a > 0 else float("nan")
+        # prune neighbors by the NEIGHBOR's first-order score (:534-555)
+        if threshold == threshold:  # NaN keeps nothing, like the C++ min
+            pruned = [[j for j in nb if fo[j] >= threshold]
+                      for nb in neighbors]
+        else:
+            pruned = [[] for _ in neighbors]
+        deg2 = [len(p) for p in pruned]
+        # final score = 0.1*loose + 0.9*tight, only when pruned degree > 2
+        # (:561-624; the looser/tight vectors are only filled inside the
+        # size>2 block, so smaller vertices score exactly 0)
+        for i in range(k):
+            loose_sum = 0.0
+            tight_sum = 0.0
+            if deg2[i] > 2:
+                for ai in range(deg2[i]):
+                    a = pruned[i][ai]
+                    loose_sum += float(G[a, i])
+                    for bi in range(ai + 1, deg2[i]):
+                        b = pruned[i][bi]
+                        if G[a, b] != 0:
+                            tight_sum += float(
+                                G[a, b] * G[a, i] * G[b, i]
+                            ) ** tight_exp
+                # C++ int division: deg*(deg-2)/2 truncates (:605)
+                tight_sum /= (deg2[i] * (deg2[i] - 2)) // 2
+                loose = loose_sum / deg2[i]
+            else:
+                loose = 0.0
+            score = (1 - weight_balance) * loose + weight_balance * tight_sum
+            if score != 0:
+                selected[lo + i] = score
+    return selected
