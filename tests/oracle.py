@@ -523,3 +523,86 @@ def literal_full_vote(src, tgt, n_regions=10, edge_threshold=0.95,
             if score != 0:
                 selected[lo + i] = score
     return selected
+
+
+def oracle_mapping_frame(map_corner_xyz, map_surf_xyz,
+                         stack_corner_xyz, stack_surf_xyz,
+                         q_w, t_w, outer_iterations=2, inner_iterations=4,
+                         knn_gate_sq=1.0, eig_ratio=3.0, point_offset=0.1,
+                         plane_gate=0.2):
+    """One whole scan-to-map solve (laserMapping.cpp:1834-2101): per outer
+    iteration, associate every stack point to the local map by brute-force
+    5-NN (gate: 5th sq-dist < 1.0); corners fit a line via the 5-point
+    covariance eigendecomposition (accept if lambda2 > 3*lambda1, virtual
+    points center +/- 0.1*dir -> LidarEdgeFactor s=1, :1877-1940); surfs
+    fit A.n = -1 by least squares (colPivHouseholderQr), reject if any
+    neighbour is > 0.2 off-plane (-> LidarPlaneNormFactor, :1943-2055);
+    then the Huber(0.1) robust solve (DENSE_QR max 4, :2080-2087) on the
+    world pose.  float64 throughout.  Returns refined (q_w, t_w)."""
+    q = np.asarray(q_w, np.float64).copy()
+    t = np.asarray(t_w, np.float64).copy()
+    map_c = np.asarray(map_corner_xyz, np.float64)
+    map_s = np.asarray(map_surf_xyz, np.float64)
+    st_c = np.asarray(stack_corner_xyz, np.float64)
+    st_s = np.asarray(stack_surf_xyz, np.float64)
+
+    def five_nn(p_sel, ref):
+        d2 = np.sum((p_sel[:, None, :] - ref[None, :, :]) ** 2, axis=-1)
+        idx = np.argsort(d2, axis=1)[:, :5]
+        d5 = np.take_along_axis(d2, idx, axis=1)
+        return idx, d5
+
+    for _ in range(outer_iterations):
+        # corner line factors
+        c_sel = _q_rot(q, st_c) + t
+        idx, d5 = five_nn(c_sel, map_c)
+        e_cp, e_a, e_b = [], [], []
+        for i in range(len(st_c)):
+            if d5[i, 4] < knn_gate_sq:
+                near = map_c[idx[i]]
+                center = near.mean(axis=0)
+                zm = near - center
+                cov = zm.T @ zm  # the reference's unnormalized sum
+                w, v = np.linalg.eigh(cov)  # ascending, like Eigen
+                if w[2] > eig_ratio * w[1]:
+                    d = v[:, 2]
+                    e_cp.append(st_c[i])
+                    e_a.append(center + point_offset * d)
+                    e_b.append(center - point_offset * d)
+        e_cp = np.asarray(e_cp).reshape(-1, 3)
+        e_a = np.asarray(e_a).reshape(-1, 3)
+        e_b = np.asarray(e_b).reshape(-1, 3)
+
+        # surf plane-norm factors
+        s_sel = _q_rot(q, st_s) + t
+        idx, d5 = five_nn(s_sel, map_s)
+        p_cp, p_n, p_d = [], [], []
+        for i in range(len(st_s)):
+            if d5[i, 4] < knn_gate_sq:
+                near = map_s[idx[i]]
+                n, *_ = np.linalg.lstsq(near, -np.ones(5), rcond=None)
+                nrm = np.linalg.norm(n)
+                neg_oa = 1.0 / nrm
+                n_hat = n / nrm
+                if np.all(np.abs(near @ n_hat + neg_oa) <= plane_gate):
+                    p_cp.append(st_s[i])
+                    p_n.append(n_hat)
+                    p_d.append(neg_oa)
+        p_cp = np.asarray(p_cp).reshape(-1, 3)
+        p_n = np.asarray(p_n).reshape(-1, 3)
+        p_d = np.asarray(p_d).reshape(-1)
+
+        def resid(qq, tt):
+            pe = _q_rot(qq, e_cp) + tt
+            de = e_a - e_b
+            inv = 1.0 / np.maximum(
+                np.linalg.norm(de, axis=-1, keepdims=True), 1e-12
+            )
+            r_edge = np.cross(pe - e_a, pe - e_b) * inv
+            pp = _q_rot(qq, p_cp) + tt
+            r_plane = (np.sum(pp * p_n, axis=-1) + p_d)[:, None]
+            return [r_edge, r_plane]
+
+        q, t = _oracle_lm(q, t, resid, n_iterations=inner_iterations)
+
+    return q, t
