@@ -17,9 +17,12 @@ world-anchored lattice ops/voxel.py dedups on), so
   * ownership is recenter-invariant: _recenter shifts cell IDS only,
     never coordinates, so no point migrates on recenter;
   * the 5×5×3 local-map gather is local filtering;
-  * k-NN runs as local-shard top-k followed by one all_gather of the
-    (Q, k) candidate sets and a replicated merge — candidates ride ICI,
-    never the full map;
+  * k-NN runs as local-shard top-k followed by one candidate exchange —
+    an all_to_all that hands each device every shard's candidates for
+    its own query slice (payload and merge cost shrink n-fold vs the
+    all_gather + replicated merge; the vote path, which needs the full
+    query set, keeps the all_gather) — candidates ride ICI, never the
+    full map;
   * Gauss-Newton normal equations are computed per-device over a slice of
     the query stack and psum-reduced (lm_solve(axis_name=...)), every
     device then solves the identical 6×6 system.
@@ -151,21 +154,51 @@ def shard_mapping_state(
     )
 
 
-def _merged_knn(p_sel, local_xyz, local_mask, cfg: MappingConfig):
-    """Local top-k against this device's shard, all_gather candidates,
-    replicated merge to the global top-k neighbour set."""
-    d_loc, idx_loc = knn.knn_tiled(
-        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile
-    )
-    near_loc = local_xyz[idx_loc]  # (Q, k, 3)
-    all_d = jax.lax.all_gather(d_loc, AXIS)      # (n, Q, k)
-    all_near = jax.lax.all_gather(near_loc, AXIS)  # (n, Q, k, 3)
+def _merge_candidates(all_d, all_near):
+    """Merge per-shard (n, Q', k) candidate sets to the global top-k."""
     n, Q, k = all_d.shape
     flat_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, n * k)
     flat_near = jnp.moveaxis(all_near, 0, 1).reshape(Q, n * k, 3)
     neg, sel = jax.lax.top_k(-flat_d, k)
     near = jnp.take_along_axis(flat_near, sel[..., None], axis=1)
     return -neg, near
+
+
+def _merged_knn(p_sel, local_xyz, local_mask, cfg: MappingConfig):
+    """Local top-k against this device's shard, all_gather candidates,
+    replicated merge to the global top-k neighbour set for ALL queries.
+    Used when a downstream consumer (the scan-to-map vote) needs the full
+    query set on every device."""
+    d_loc, idx_loc = knn.knn_tiled(
+        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile
+    )
+    near_loc = local_xyz[idx_loc]  # (Q, k, 3)
+    all_d = jax.lax.all_gather(d_loc, AXIS)      # (n, Q, k)
+    all_near = jax.lax.all_gather(near_loc, AXIS)  # (n, Q, k, 3)
+    return _merge_candidates(all_d, all_near)
+
+
+def _merged_knn_sliced(p_sel, local_xyz, local_mask, cfg: MappingConfig, n: int):
+    """Like _merged_knn but each device merges only ITS query slice:
+    candidates are exchanged with one all_to_all (device i receives every
+    shard's candidates for slice i), so both the collective payload and
+    the top-k merge shrink n-fold vs the all_gather + replicated merge.
+    Candidate order is shard-major either way — bitwise-identical to
+    slicing _merged_knn's output (gated by test_sharded equivalence)."""
+    d_loc, idx_loc = knn.knn_tiled(
+        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile
+    )
+    near_loc = local_xyz[idx_loc]  # (Q, k, 3)
+    Q, k = d_loc.shape
+    d_x = jax.lax.all_to_all(
+        d_loc.reshape(n, Q // n, k), AXIS, split_axis=0, concat_axis=0,
+        tiled=False,
+    )  # (n, Q/n, k): shard j's candidates for my slice
+    near_x = jax.lax.all_to_all(
+        near_loc.reshape(n, Q // n, k, 3), AXIS, split_axis=0, concat_axis=0,
+        tiled=False,
+    )
+    return _merge_candidates(d_x, near_x)
 
 
 def _slice_for_device(x, n):
@@ -243,34 +276,42 @@ def sharded_mapping_step(
         n_cf = jnp.int32(0)
         n_sf = jnp.int32(0)
         for _ in range(cfg.outer_iterations):
+            # every device builds factors for its own query slice; the
+            # normal equations are psum-reduced inside lm_solve.  Corners
+            # never feed the vote, so their candidate merge is sliced
+            # (all_to_all) — each device merges only its own queries.
             p_sel_c = quat.quat_rotate(q_w[None, :], stack_c_xyz) + t_w[None, :]
-            d_c, near_c = _merged_knn(p_sel_c, local_c_xyz, local_c_mask, cfg)
-            p_sel_s = quat.quat_rotate(q_w[None, :], stack_s_xyz) + t_w[None, :]
-            d_s, near_s = _merged_knn(p_sel_s, local_s_xyz, local_s_mask, cfg)
-
-            # every device builds factors for its own query slice;
-            # the normal equations are psum-reduced inside lm_solve
+            d_c, near_c = _merged_knn_sliced(
+                p_sel_c, local_c_xyz, local_c_mask, cfg, n
+            )
             ef = line_fit_factors(
                 _slice_for_device(stack_c_xyz, n),
                 _slice_for_device(stack_c_mask & big_enough, n),
-                _slice_for_device(d_c, n),
-                _slice_for_device(near_c, n),
+                d_c,
+                near_c,
                 cfg,
             )
+            p_sel_s = quat.quat_rotate(q_w[None, :], stack_s_xyz) + t_w[None, :]
             if cfg.vote_mode == "off":
-                # no vote: each device only needs its own query slice
+                # no vote: sliced merge for the surf queries too
+                d_s, near_s = _merged_knn_sliced(
+                    p_sel_s, local_s_xyz, local_s_mask, cfg, n
+                )
                 pf = plane_fit_factors(
                     _slice_for_device(stack_s_xyz, n),
                     _slice_for_device(stack_s_mask & big_enough, n),
-                    _slice_for_device(d_s, n),
-                    _slice_for_device(near_s, n),
+                    d_s,
+                    near_s,
                     cfg,
                 )
             else:
-                # plane factors: fit replicated over the full stack so
-                # the scan-to-map vote (laserMapping.cpp:2057-2072)
-                # chunks identically to the single-device step, then
-                # slice
+                # vote path: the scan-to-map vote (laserMapping.cpp:
+                # 2057-2072) chunks over the FULL query set, so the
+                # candidate merge stays replicated (all_gather) and the
+                # plane fit runs over the full stack, then slices
+                d_s, near_s = _merged_knn(
+                    p_sel_s, local_s_xyz, local_s_mask, cfg
+                )
                 pf_full = plane_fit_factors(
                     stack_s_xyz, stack_s_mask & big_enough, d_s, near_s, cfg
                 )
