@@ -31,6 +31,14 @@ os.environ.setdefault("LLT_MATMUL_PRECISION", "high")
 
 import numpy as np
 import jax
+
+# Allow smoke-testing the harness off-TPU: sitecustomize preloads jax
+# with the snapshotted axon platform, so JAX_PLATFORMS=cpu alone does
+# not take — the live config must be updated too (same dance as
+# tests/conftest.py and bench_accuracy.py).
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from light_loam_tpu.config import HDL64_KITTI
