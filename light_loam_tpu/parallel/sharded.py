@@ -225,6 +225,20 @@ def sharded_mapping_step(
     the interconnect.
     """
     n = mesh.shape[AXIS]
+    for name, cap in (
+        ("stack_corner_capacity", cfg.stack_corner_capacity),
+        ("stack_surf_capacity", cfg.stack_surf_capacity),
+        ("map_corner_capacity", cfg.map_corner_capacity),
+        ("map_surf_capacity", cfg.map_surf_capacity),
+        ("local_corner_capacity", cfg.local_corner_capacity),
+        ("local_surf_capacity", cfg.local_surf_capacity),
+    ):
+        if cap % n:
+            raise ValueError(
+                f"MappingConfig.{name}={cap} must be divisible by the "
+                f"mesh size {n} (per-device query slices and the "
+                f"all_to_all candidate exchange split it evenly)"
+            )
 
     store_specs = MapStore(xyz=P(AXIS, None), cell=P(AXIS), mask=P(AXIS))
     state_specs = MappingState(
