@@ -133,7 +133,9 @@ def bench_single(cfg, frames):
 
     Returns (fps, pose, extras) where extras carries the per-stage device
     times (the three stages are separate jitted programs here, so the
-    breakdown needs no extra compiles) and an MFU estimate."""
+    breakdown needs no extra compiles) and an MFU estimate.  The fused
+    latency mode (one program per frame) is a separate bench mode
+    (`bench_fused`) run in its own subprocess, like batched."""
     odo_state = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
     map_state = MappingState.init(cfg.mapping)
 
@@ -209,6 +211,45 @@ def bench_single(cfg, frames):
     _flag_mfu_anomaly(extras)
     log(f"stage_ms: {extras['stage_ms']}  flops/frame: {total_flops}  "
         f"mfu≈{extras['mfu_est']}")
+    return fps, np.asarray(mout.t_w), extras
+
+
+def bench_fused(cfg, frames):
+    """Fused latency mode: the whole frame as ONE program
+    (models/fused.py — no dispatch×3 per frame, no mid-frame host sync).
+    Same production path as PipelineConfig.fused_step; the single-stream
+    latency headline is max(single, fused)."""
+    from light_loam_tpu.models.fused import fused_frame_step
+
+    odo_state = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
+    map_state = MappingState.init(cfg.mapping)
+    puts = [(jax.device_put(x), jax.device_put(m)) for x, m in frames]
+    jax.block_until_ready(puts)
+
+    t0 = time.perf_counter()
+    for i in range(N_WARM):
+        odo_state, map_state, odo, mout, div = fused_frame_step(
+            odo_state, map_state, *puts[i], cfg)
+    jax.block_until_ready((odo_state, map_state))
+    log(f"fused warm (incl. compile): {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(N_BENCH):
+        odo_state, map_state, odo, mout, div = fused_frame_step(
+            odo_state, map_state, *puts[(N_WARM + i) % len(puts)], cfg)
+    jax.block_until_ready((odo_state, map_state, mout))
+    fps = N_BENCH / (time.perf_counter() - t0)
+
+    # per-step latency with a host sync every step (the pipeline's
+    # sync-mapping operating point)
+    t1 = time.perf_counter()
+    for i in range(4):
+        odo_state, map_state, odo, mout, div = fused_frame_step(
+            odo_state, map_state, *puts[(N_WARM + i) % len(puts)], cfg)
+        jax.block_until_ready(mout.t_w)
+    blocked_ms = (time.perf_counter() - t1) / 4 * 1000
+    extras = {"blocked_step_ms": round(blocked_ms, 3)}
+    log(f"fused blocked-per-step: {blocked_ms:.2f} ms")
     return fps, np.asarray(mout.t_w), extras
 
 
@@ -293,6 +334,10 @@ def run_mode(mode: str) -> dict:
         fps, pose, extras = bench_single(cfg, frames)
         log(f"single-stream: {fps:.1f} frames/s ({1000/fps:.2f} ms/frame), "
             f"pose {pose.round(2)}")
+    elif mode == "fused":
+        fps, pose, extras = bench_fused(cfg, frames)
+        log(f"fused single-stream: {fps:.1f} frames/s "
+            f"({1000/fps:.2f} ms/frame), pose {pose.round(2)}")
     else:
         fps, pose, extras = bench_batched(cfg, frames)
         log(f"batched (B={BATCH}): {fps:.1f} frames/s aggregate "
@@ -316,15 +361,18 @@ def main():
     # single-stream runs FIRST: it compiles reliably inside the budget
     # (~190 s incl. remote compiles) and carries the per-stage device-time
     # breakdown and MFU estimate, so a valid artifact is guaranteed.
-    # Batched — the bigger headline number — then gets ALL remaining
+    # Batched — the bigger headline number — then gets the remaining
     # budget; its vmapped program is the slowest remote compile and on bad
     # tunnel days (compiles are 1-7 min, no persistent cache) it can blow
-    # any cap, in which case the single-stream record stands.
+    # any cap, in which case the single-stream record stands.  The fused
+    # latency mode (one program/frame) runs LAST on whatever budget is
+    # left — a diagnostic for the single-stream headline, never at the
+    # expense of the batched one.
     t_start = time.time()
     results = {}
     fps = 0.0
     mode_used = "none"
-    for mode in ("single", "batched"):
+    for mode in ("single", "batched", "fused"):
         budget_left = 560 - (time.time() - t_start)
         if budget_left < 120:
             log(f"skipping {mode} mode: only {budget_left:.0f}s budget left")
@@ -368,6 +416,10 @@ def main():
         record["single_fps"] = round(s["fps"], 3)
         record["stage_ms"] = s.get("stage_ms")
         record["single_mfu_est"] = s.get("mfu_est")
+    f = results.get("fused")
+    if f:
+        record["fused_fps"] = round(f["fps"], 3)
+        record["fused_blocked_step_ms"] = f.get("blocked_step_ms")
     print(json.dumps(record))
 
 

@@ -56,9 +56,17 @@ def main():
         "m2dgr": dict(n_rings=32, lower_deg=-25.0, upper_deg=15.0),
     }[profile]
     cfg = PROFILES[profile]
+    # LLT_ACC_FUSED=1: run the fused one-program-per-frame latency mode
+    # (models/fused.py) — the accuracy A/B proving the fused path at
+    # trajectory scale, beyond tests/test_fused.py's short gate.
+    fused = os.environ.get("LLT_ACC_FUSED", "0") == "1"
+    if fused:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_step=True)
     tier = os.environ.get("LLT_MATMUL_PRECISION", "highest")
     log(f"devices: {jax.devices()}  precision tier: {tier}  "
-        f"profile: {profile}")
+        f"profile: {profile}  fused: {fused}")
 
     mode = os.environ.get("LLT_ACC_MODE", "loop")
     # long-horizon: LLT_ACC_REVS>1 drives REVS full revolutions of the
@@ -142,6 +150,7 @@ def main():
         "kitti": kitti,
         "profile": profile,
         "precision": tier,
+        "fused": fused,
         "platform": jax.devices()[0].platform,
         "wall_s": round(wall, 1),
     }

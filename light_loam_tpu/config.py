@@ -277,6 +277,14 @@ class PipelineConfig:
     # thread — FrameResult.map_* is then the last *retired* pose (stale by
     # up to one frame, like /aft_mapped_to_init consumers see).
     sync_mapping: bool = True
+    # Latency mode: run features→odometry→mapping as ONE jitted program
+    # per frame (models/fused.py) instead of three, with divergence
+    # containment in-graph.  Engages only on frames that map
+    # synchronously (sync_mapping and frame % skip_frame_num == 0);
+    # other frames fall back to the staged path.  Off by default: the
+    # staged path is required for async mapping overlap and keeps the
+    # per-stage timing breakdown.
+    fused_step: bool = False
 
 
 # ---- the three launch profiles (reference launch/*.launch) ----

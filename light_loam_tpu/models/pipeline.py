@@ -18,6 +18,7 @@ reference's publish gate.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -142,6 +143,12 @@ class Pipeline:
     # -- one frame ------------------------------------------------------
     def process_frame(self, xyz: np.ndarray, mask: np.ndarray) -> FrameResult:
         cfg = self.cfg
+        if (
+            cfg.fused_step
+            and cfg.sync_mapping
+            and self.frame % cfg.odometry.skip_frame_num == 0
+        ):
+            return self._process_frame_fused(xyz, mask)
         with self.timers.stage("features"):
             feats = extract_features(jnp.asarray(xyz), jnp.asarray(mask), cfg.scan)
         with self.timers.stage("odometry"):
@@ -206,6 +213,45 @@ class Pipeline:
             # async mode: this is the last *retired* pose (stale by up to
             # one step, as documented on PipelineConfig.sync_mapping)
             result.map_q, result.map_t = self._last_map_pose
+        self.frame += 1
+        self.timers.frame_done()
+        return result
+
+    def _process_frame_fused(self, xyz: np.ndarray, mask: np.ndarray) -> FrameResult:
+        """Latency mode: the whole frame as one program (models/fused.py).
+
+        Bookkeeping (keyframe buffering, trajectory, saturation watch) is
+        shared with the staged path via the pending/_retire_mapping
+        machinery; mapping retires synchronously because this path only
+        engages with sync_mapping.
+        """
+        from light_loam_tpu.models.fused import fused_frame_step
+
+        cfg = self.cfg
+        with self.timers.stage("fused_step"):
+            self.odo_state, new_state, odo, map_out, diverged = fused_frame_step(
+                self.odo_state, self.map_state,
+                jnp.asarray(xyz), jnp.asarray(mask), cfg,
+            )
+        if bool(diverged):
+            self.diverged_frames += 1
+        else:
+            self._last_odo_pose = (np.asarray(odo.q_w), np.asarray(odo.t_w))
+        self._pending_map_out = map_out
+        self._pending_map_state = new_state
+        self._pending_kf = (
+            np.asarray(odo.q_w), np.asarray(odo.t_w),
+            *self._keyframe_stack(),
+        )
+        self._retire_mapping(wait=True)
+        result = FrameResult(
+            frame=self.frame,
+            odom_q=np.asarray(odo.q_w),
+            odom_t=np.asarray(odo.t_w),
+            mapped=True,
+            map_q=self._last_map_pose[0],
+            map_t=self._last_map_pose[1],
+        )
         self.frame += 1
         self.timers.frame_done()
         return result
@@ -405,12 +451,15 @@ def run_synthetic(
     n_azimuth: int = 1800,
     speed: float = 1.0,
     seed: int = 0,
+    fused: bool = False,
 ):
     """Drive the pipeline over a simulated straight run; returns
     (pipeline, results, true positions)."""
     from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
 
     cfg = PROFILES[profile]
+    if fused:
+        cfg = dataclasses.replace(cfg, fused_step=True)
     pipe = Pipeline(cfg)
     world = World.urban(seed=seed)
     results = []
@@ -437,6 +486,7 @@ def run_kitti(
     profile: str = "hdl64",
     max_frames: Optional[int] = None,
     pose_source: str = "mapped",
+    fused: bool = False,
 ):
     """KITTI sequence → trajectory file (the reference's RESULT_PATH
     artifact, laserMapping.cpp:2284-2326).
@@ -456,6 +506,8 @@ def run_kitti(
     if pose_source not in ("mapped", "high_freq"):
         raise ValueError(f"unknown pose_source: {pose_source!r}")
     cfg = PROFILES[profile]
+    if fused:
+        cfg = dataclasses.replace(cfg, fused_step=True)
     pipe = Pipeline(cfg)
     seq = KittiSequence(dataset_folder, sequence)
     writer = KittiPoseWriter(result_path)
@@ -480,6 +532,9 @@ def run_kitti(
 
 
 def main():
+    from light_loam_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description="light_loam_tpu SLAM pipeline")
     ap.add_argument("--dataset", help="KITTI dataset folder (kittiHelper layout)")
     ap.add_argument("--sequence", default="04")
@@ -492,20 +547,25 @@ def main():
                     help="write PNG quick-looks (PREFIX_traj.png, "
                          "PREFIX_map.png) after the run — the headless "
                          "stand-in for the reference's rviz launch")
+    ap.add_argument("--fused", action="store_true",
+                    help="latency mode: run each frame as ONE fused "
+                         "device program (models/fused.py) instead of "
+                         "three staged dispatches")
     args = ap.parse_args()
 
     t0 = time.time()
     gt = None
     if args.synthetic or not args.dataset:
         pipe, results, truth = run_synthetic(
-            n_frames=args.frames or 20, profile=args.profile
+            n_frames=args.frames or 20, profile=args.profile,
+            fused=args.fused,
         )
         gt = truth
         err = np.linalg.norm(results[-1].odom_t - truth[-1])
         print(f"frames: {len(results)}  final pose error: {err:.3f} m")
     else:
         pipe = run_kitti(args.dataset, args.sequence, args.result,
-                         args.profile, args.frames)
+                         args.profile, args.frames, fused=args.fused)
         print(f"trajectory written to {args.result}")
     dt = time.time() - t0
     print(f"wall: {dt:.2f}s  dropped mapping frames: {pipe.dropped_mapping_frames}")

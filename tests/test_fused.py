@@ -1,0 +1,104 @@
+"""Fused whole-frame program (models/fused.py) vs the staged pipeline.
+
+The fused step is the latency mode: one XLA program per frame instead of
+three, with divergence containment in-graph.  Its contract is exact
+semantic equivalence with the staged path (models/pipeline.py) on every
+mapping frame — these tests gate that, plus the in-graph containment
+policy itself.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from light_loam_tpu.models.pipeline import PROFILES, Pipeline
+from light_loam_tpu.utils.synthetic import World, pad_cloud, simulate_scan
+
+
+def _frames(cfg, world, n, step=0.5):
+    out = []
+    for i in range(n):
+        pts = simulate_scan(world, np.array([step * i, 0.0, 0.0]),
+                            n_azimuth=500, noise=0.01, seed=100 + i)
+        out.append(pad_cloud(pts, cfg.scan.max_points))
+    return out
+
+
+def test_fused_matches_staged_pipeline():
+    base = PROFILES["hdl64-small"]
+    world = World.urban(seed=21)
+    frames = _frames(base, world, 6)
+
+    staged = Pipeline(base)
+    fused = Pipeline(dataclasses.replace(base, fused_step=True))
+
+    for xyz, mask in frames:
+        rs = staged.process_frame(xyz, mask)
+        rf = fused.process_frame(xyz, mask)
+        assert rf.mapped == rs.mapped
+        # Same composition of the same jitted stage functions — the only
+        # difference is program boundaries, so poses agree to float32
+        # reassociation noise.
+        np.testing.assert_allclose(rf.odom_t, rs.odom_t, atol=1e-4)
+        np.testing.assert_allclose(rf.odom_q, rs.odom_q, atol=1e-5)
+        np.testing.assert_allclose(rf.map_t, rs.map_t, atol=1e-4)
+        np.testing.assert_allclose(rf.map_q, rs.map_q, atol=1e-5)
+
+    # shared bookkeeping: trajectory history and keyframe buffers match
+    assert len(fused._map_trajectory) == len(staged._map_trajectory)
+    np.testing.assert_allclose(
+        np.stack(fused._map_trajectory), np.stack(staged._map_trajectory),
+        atol=1e-4,
+    )
+    assert len(fused._keyframes) == len(staged._keyframes)
+    assert fused.diverged_frames == staged.diverged_frames == 0
+
+
+def test_fused_in_graph_divergence_containment(monkeypatch):
+    """A non-finite odometry pose must not poison the world pose: the
+    fused step keeps the previous pose, resets the warm start, and
+    reports the divergence flag (pipeline.py:152-168 policy, in-graph).
+
+    An empty scan degrades *gracefully* (damped solve, finite pose), so
+    the failure is injected: the odometry step the fused program traces
+    is wrapped to emit NaN t_w whenever the scan has no sharp points —
+    a data-dependent corruption baked into the trace, exercising the
+    containment `where` on device."""
+    import jax.numpy as jnp
+
+    import light_loam_tpu.models.fused as fused_mod
+
+    base = PROFILES["hdl64-small"]
+    # distinct static cfg → fresh trace with the wrapper in place
+    cfg = dataclasses.replace(base, fused_step=True, frame_budget_ms=42.0)
+    world = World.urban(seed=22)
+    frames = _frames(cfg, world, 3)
+
+    real_step = fused_mod.odometry_step
+
+    def nan_on_empty(state, feats, ocfg, period):
+        state2, odo = real_step(state, feats, ocfg, period)
+        poison = jnp.where(feats.sharp.mask.any(), 0.0, jnp.nan)
+        state2 = state2._replace(t_w=state2.t_w + poison)
+        return state2, odo._replace(t_w=odo.t_w + poison)
+
+    monkeypatch.setattr(fused_mod, "odometry_step", nan_on_empty)
+
+    pipe = Pipeline(cfg)
+    for xyz, mask in frames[:2]:
+        res = pipe.process_frame(xyz, mask)
+        assert np.isfinite(res.odom_t).all()
+    pose_before = np.asarray(pipe._last_odo_pose[1]).copy()
+    assert pipe.diverged_frames == 0
+
+    # empty scan → injected NaN pose → containment must engage
+    xyz, mask = frames[2]
+    res = pipe.process_frame(xyz, np.zeros_like(mask))
+    assert pipe.diverged_frames == 1
+    assert np.isfinite(res.odom_t).all()
+    np.testing.assert_allclose(res.odom_t, pose_before, atol=1e-5)
+
+    # and the pipeline keeps tracking on the next good frame
+    res2 = pipe.process_frame(xyz, mask)
+    assert np.isfinite(res2.odom_t).all()
+    assert pipe.diverged_frames == 1
