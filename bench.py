@@ -32,12 +32,11 @@ os.environ.setdefault("LLT_MATMUL_PRECISION", "high")
 import numpy as np
 import jax
 
-# Allow smoke-testing the harness off-TPU: sitecustomize preloads jax
-# with the snapshotted axon platform, so JAX_PLATFORMS=cpu alone does
-# not take — the live config must be updated too (same dance as
-# tests/conftest.py and bench_accuracy.py).
-if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+# Allow smoke-testing the harness off-TPU (sitecustomize preloads jax
+# with the snapshotted axon platform, so the env var alone does not take).
+from light_loam_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
 
 import jax.numpy as jnp
 
@@ -388,9 +387,14 @@ def main():
             )
             sys.stderr.write(out.stderr)
             results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
-            # batched (aggregate) is the headline whenever it completes
-            if mode_used in ("none", "single"):
-                fps = results[mode]["fps"]
+            # batched (aggregate) is the headline whenever it completes;
+            # fused only upgrades a single-stream headline when it is
+            # actually faster (fused can lose to staged off-TPU)
+            m_fps = results[mode]["fps"]
+            if mode == "batched" or mode_used == "none" or (
+                mode_used == "single" and mode == "fused" and m_fps > fps
+            ):
+                fps = m_fps
                 mode_used = mode
         except Exception as e:  # noqa: BLE001 - fall back to the other mode
             log(f"{mode} bench failed: {e}")

@@ -35,13 +35,12 @@ def log(*a):
 def main():
     import jax
 
-    # sitecustomize preloads jax with the platform snapshotted from the
-    # container env, so `JAX_PLATFORMS=cpu` alone does not take — the
-    # live config must be updated too (same dance as tests/conftest.py;
-    # without this the axon backend initializes and hangs when the TPU
-    # tunnel is down).
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # sitecustomize preloads jax with the snapshotted axon platform, so
+    # JAX_PLATFORMS=cpu alone does not take; without this the axon
+    # backend initializes and hangs when the TPU tunnel is down.
+    from light_loam_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     from light_loam_tpu.models.pipeline import PROFILES, Pipeline
     from light_loam_tpu.utils.synthetic import World, pad_cloud, simulate_scan

@@ -233,6 +233,10 @@ class Pipeline:
                 self.odo_state, self.map_state,
                 jnp.asarray(xyz), jnp.asarray(mask), cfg,
             )
+        # dispatch the keyframe-stack downsample BEFORE any host sync so
+        # it queues behind the fused program on device; the first host
+        # readback below then covers both programs in one wait
+        kf_stack = self._keyframe_stack()
         if bool(diverged):
             self.diverged_frames += 1
         else:
@@ -240,8 +244,7 @@ class Pipeline:
         self._pending_map_out = map_out
         self._pending_map_state = new_state
         self._pending_kf = (
-            np.asarray(odo.q_w), np.asarray(odo.t_w),
-            *self._keyframe_stack(),
+            np.asarray(odo.q_w), np.asarray(odo.t_w), *kf_stack,
         )
         self._retire_mapping(wait=True)
         result = FrameResult(

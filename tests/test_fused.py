@@ -54,6 +54,32 @@ def test_fused_matches_staged_pipeline():
     assert fused.diverged_frames == staged.diverged_frames == 0
 
 
+def test_fused_interleaves_with_staged_on_skip_frames():
+    """With skip_frame_num=2, only every other frame maps: those run
+    fused, the rest fall back to staged features+odometry.  The two
+    paths share OdometryState/MappingState — this gates that the
+    interleaved run matches a pure-staged run with the same skip."""
+    base = PROFILES["hdl64-small"]
+    cfg_skip = dataclasses.replace(
+        base,
+        odometry=dataclasses.replace(base.odometry, skip_frame_num=2),
+    )
+    world = World.urban(seed=23)
+    frames = _frames(cfg_skip, world, 5)
+
+    staged = Pipeline(cfg_skip)
+    mixed = Pipeline(dataclasses.replace(cfg_skip, fused_step=True))
+
+    for i, (xyz, mask) in enumerate(frames):
+        rs = staged.process_frame(xyz, mask)
+        rm = mixed.process_frame(xyz, mask)
+        assert rm.mapped == rs.mapped == (i % 2 == 0)
+        np.testing.assert_allclose(rm.odom_t, rs.odom_t, atol=1e-4)
+        if rs.mapped:
+            np.testing.assert_allclose(rm.map_t, rs.map_t, atol=1e-4)
+    assert len(mixed._map_trajectory) == len(staged._map_trajectory) == 3
+
+
 def test_fused_in_graph_divergence_containment(monkeypatch):
     """A non-finite odometry pose must not poison the world pose: the
     fused step keeps the previous pose, resets the warm start, and
