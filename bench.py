@@ -252,6 +252,41 @@ def bench_fused(cfg, frames):
     return fps, np.asarray(mout.t_w), extras
 
 
+def bench_chunked(cfg, frames):
+    """Chunked offline mode: K frames of one sequence per dispatch via
+    lax.scan inside ONE program (models/fused.fused_chunk_step) — the
+    single-sequence replay throughput ceiling (dispatch cost amortized
+    1/K; the scan body compiles once regardless of K)."""
+    from light_loam_tpu.models.fused import fused_chunk_step
+
+    K = len(frames)  # 12 staged frames = one chunk
+    odo_state = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
+    map_state = MappingState.init(cfg.mapping)
+    xs = jax.device_put(np.stack([f[0] for f in frames]))
+    ms = jax.device_put(np.stack([f[1] for f in frames]))
+    jax.block_until_ready((xs, ms))
+
+    t0 = time.perf_counter()
+    odo_state, map_state, outs = fused_chunk_step(odo_state, map_state,
+                                                  xs, ms, cfg)
+    jax.block_until_ready(outs.map_t)
+    log(f"chunk warm (incl. compile): {time.perf_counter()-t0:.1f}s")
+
+    n_rep = 4
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        odo_state, map_state, outs = fused_chunk_step(odo_state, map_state,
+                                                      xs, ms, cfg)
+    jax.block_until_ready((odo_state, map_state, outs.map_t))
+    dt = time.perf_counter() - t0
+    fps = n_rep * K / dt
+    extras = {"chunk_frames": K,
+              "chunk_ms": round(dt / n_rep * 1000, 3)}
+    log(f"chunked: {fps:.1f} frames/s ({dt/n_rep*1000/K:.3f} ms/frame, "
+        f"K={K})")
+    return fps, np.asarray(outs.map_t[-1]), extras
+
+
 def bench_batched(cfg, frames):
     state = init_batch_state(cfg, BATCH)
     n_f = len(frames)
@@ -337,6 +372,9 @@ def run_mode(mode: str) -> dict:
         fps, pose, extras = bench_fused(cfg, frames)
         log(f"fused single-stream: {fps:.1f} frames/s "
             f"({1000/fps:.2f} ms/frame), pose {pose.round(2)}")
+    elif mode == "chunked":
+        fps, pose, extras = bench_chunked(cfg, frames)
+        log(f"chunked: {fps:.1f} frames/s, final pose {pose.round(2)}")
     else:
         fps, pose, extras = bench_batched(cfg, frames)
         log(f"batched (B={BATCH}): {fps:.1f} frames/s aggregate "
@@ -371,7 +409,7 @@ def main():
     results = {}
     fps = 0.0
     mode_used = "none"
-    for mode in ("single", "batched", "fused"):
+    for mode in ("single", "batched", "fused", "chunked"):
         budget_left = 560 - (time.time() - t_start)
         if budget_left < 120:
             log(f"skipping {mode} mode: only {budget_left:.0f}s budget left")
@@ -424,6 +462,10 @@ def main():
     if f:
         record["fused_fps"] = round(f["fps"], 3)
         record["fused_blocked_step_ms"] = f.get("blocked_step_ms")
+    c = results.get("chunked")
+    if c:
+        record["chunked_fps"] = round(c["fps"], 3)
+        record["chunk_frames"] = c.get("chunk_frames")
     print(json.dumps(record))
 
 

@@ -490,6 +490,7 @@ def run_kitti(
     max_frames: Optional[int] = None,
     pose_source: str = "mapped",
     fused: bool = False,
+    chunk_size: int = 0,
 ):
     """KITTI sequence → trajectory file (the reference's RESULT_PATH
     artifact, laserMapping.cpp:2284-2326).
@@ -503,6 +504,13 @@ def run_kitti(
         composed pose (the /aft_mapped_to_init_high_frec analog,
         laserMapping.cpp:168-247) — denser but odometry-grade on frames
         mapping dropped.
+
+    ``chunk_size`` > 1 switches to the offline chunked runner
+    (models/fused.run_chunked): K frames per device dispatch via
+    lax.scan — the fastest way to replay a whole sequence.  Implies
+    pose_source="mapped" semantics with every frame mapping (no drop
+    policy, no skip decimation); returns the ChunkOutput instead of a
+    Pipeline.
     """
     from light_loam_tpu.io.kitti import KittiPoseWriter, KittiSequence
 
@@ -511,10 +519,29 @@ def run_kitti(
     cfg = PROFILES[profile]
     if fused:
         cfg = dataclasses.replace(cfg, fused_step=True)
-    pipe = Pipeline(cfg)
     seq = KittiSequence(dataset_folder, sequence)
     writer = KittiPoseWriter(result_path)
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
+
+    if chunk_size and chunk_size > 1:
+        from light_loam_tpu.models.fused import run_chunked
+
+        def frame_stream():
+            count = 0
+            for ts, xyz, mask in seq.padded_frames(cfg.scan.max_points):
+                if count >= n:
+                    break
+                yield xyz, mask
+                count += 1
+
+        odo_state, map_state, outs = run_chunked(
+            frame_stream(), cfg, chunk_size=chunk_size)
+        for q, t in zip(outs.map_q, outs.map_t):
+            R = np.asarray(quat.quat_to_matrix(jnp.asarray(q)))
+            writer.write(R, t)
+        return outs
+
+    pipe = Pipeline(cfg)
     count = 0
     for ts, xyz, mask in seq.padded_frames(cfg.scan.max_points):
         if count >= n:
@@ -554,11 +581,43 @@ def main():
                     help="latency mode: run each frame as ONE fused "
                          "device program (models/fused.py) instead of "
                          "three staged dispatches")
+    ap.add_argument("--chunk", type=int, default=0, metavar="K",
+                    help="offline mode: replay K frames per device "
+                         "dispatch (lax.scan in one program, "
+                         "models/fused.run_chunked) — fastest whole-"
+                         "sequence replay; every frame maps")
     args = ap.parse_args()
 
     t0 = time.time()
     gt = None
     if args.synthetic or not args.dataset:
+        if args.chunk > 1:
+            from light_loam_tpu.models.fused import run_chunked
+            from light_loam_tpu.utils.synthetic import (
+                World, pad_cloud, simulate_scan,
+            )
+
+            cfg = PROFILES[args.profile]
+            world = World.urban(seed=0)
+            n = args.frames or 20
+            truth = np.asarray([[1.0 * i, 0.02 * i, 0.0] for i in range(n)])
+
+            def stream():
+                for i in range(n):
+                    pts = simulate_scan(
+                        world, truth[i], n_rings=cfg.scan.n_scans,
+                        lower_deg=cfg.scan.lower_bound_deg,
+                        upper_deg=cfg.scan.upper_bound_deg,
+                        n_azimuth=1800, noise=0.01, seed=100 + i,
+                    )
+                    yield pad_cloud(pts, cfg.scan.max_points)
+
+            _, _, outs = run_chunked(stream(), cfg, chunk_size=args.chunk)
+            err = np.linalg.norm(np.asarray(outs.map_t)[-1] - truth[-1])
+            print(f"frames: {n} (chunk={args.chunk})  "
+                  f"final mapped pose error: {err:.3f} m")
+            print(f"wall: {time.time()-t0:.2f}s")
+            return
         pipe, results, truth = run_synthetic(
             n_frames=args.frames or 20, profile=args.profile,
             fused=args.fused,
@@ -567,9 +626,15 @@ def main():
         err = np.linalg.norm(results[-1].odom_t - truth[-1])
         print(f"frames: {len(results)}  final pose error: {err:.3f} m")
     else:
-        pipe = run_kitti(args.dataset, args.sequence, args.result,
-                         args.profile, args.frames, fused=args.fused)
+        out = run_kitti(args.dataset, args.sequence, args.result,
+                        args.profile, args.frames, fused=args.fused,
+                        chunk_size=args.chunk)
         print(f"trajectory written to {args.result}")
+        if args.chunk > 1:
+            print(f"wall: {time.time()-t0:.2f}s  (chunked replay, "
+                  f"{args.chunk} frames/dispatch)")
+            return
+        pipe = out
     dt = time.time() - t0
     print(f"wall: {dt:.2f}s  dropped mapping frames: {pipe.dropped_mapping_frames}")
     print(pipe.timers.report())

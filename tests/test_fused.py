@@ -54,6 +54,57 @@ def test_fused_matches_staged_pipeline():
     assert fused.diverged_frames == staged.diverged_frames == 0
 
 
+def test_chunked_scan_matches_per_frame_fused():
+    """fused_chunk_step (lax.scan over K frames in ONE program, the
+    offline single-sequence throughput mode) must reproduce the
+    per-frame fused path.
+
+    Tolerance note: the scan body is a *different XLA compilation* of
+    the same trace, so float reassociation differs bitwise; through the
+    solver's discrete gates (1 m² correspondence gates, vote cutoffs)
+    that grows as a few-mm/frame random walk — the same mechanism as
+    the sharded-vs-single divergence documented in CLAUDE.md (frame 1
+    agrees to 3e-5 m, frame 6 to ~1 cm).  Gate at 3 cm over 6 frames:
+    tight enough to catch any real state-threading bug (which would be
+    metres), loose enough not to gate compiler noise."""
+    import jax.numpy as jnp
+
+    from light_loam_tpu.models.fused import fused_chunk_step, fused_frame_step
+    from light_loam_tpu.models.mapping import MappingState
+    from light_loam_tpu.models.odometry import OdometryState
+
+    cfg = PROFILES["hdl64-small"]
+    world = World.urban(seed=24)
+    frames = _frames(cfg, world, 6)
+
+    odo = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
+    mp = MappingState.init(cfg.mapping)
+    per_frame_t = []
+    for xyz, mask in frames:
+        odo, mp, o, mout, div = fused_frame_step(
+            odo, mp, jnp.asarray(xyz), jnp.asarray(mask), cfg)
+        per_frame_t.append(np.asarray(mout.t_w))
+        assert not bool(div)
+
+    odo2 = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
+    mp2 = MappingState.init(cfg.mapping)
+    xs = jnp.asarray(np.stack([f[0] for f in frames]))
+    ms = jnp.asarray(np.stack([f[1] for f in frames]))
+    odo2, mp2, outs = fused_chunk_step(odo2, mp2, xs, ms, cfg)
+
+    assert not np.asarray(outs.diverged).any()
+    np.testing.assert_allclose(
+        np.asarray(outs.map_t), np.stack(per_frame_t), rtol=0, atol=3e-2)
+    # final states agree too (the chunk threads state through the scan)
+    np.testing.assert_allclose(np.asarray(odo2.t_w), np.asarray(odo.t_w),
+                               rtol=0, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(mp2.t_wm), np.asarray(mp.t_wm),
+                               rtol=0, atol=3e-2)
+    # and the first frame — before any gate-flip accumulation — is tight
+    np.testing.assert_allclose(np.asarray(outs.map_t)[1], per_frame_t[1],
+                               rtol=0, atol=1e-3)
+
+
 def test_fused_interleaves_with_staged_on_skip_frames():
     """With skip_frame_num=2, only every other frame maps: those run
     fused, the rest fall back to staged features+odometry.  The two

@@ -104,6 +104,34 @@ def test_run_kitti_end_to_end(mini_kitti, tmp_path):
     assert err < 0.30, f"ATE too high on mini sequence: {err}"
 
 
+@pytest.mark.slow
+def test_run_kitti_chunked_replay(mini_kitti, tmp_path):
+    """Offline chunked replay (run_kitti(chunk_size=3) → lax.scan over 3
+    frames per dispatch, models/fused.run_chunked): 5 frames = one full
+    chunk + one tail chunk padded with an empty frame, whose output rows
+    must be trimmed — the file gets exactly one row per input frame and
+    tracks like the per-frame path."""
+    from light_loam_tpu.io.evaluation import ate_rmse
+    from light_loam_tpu.io.kitti import gt_to_lidar_frame, read_gt_poses
+    from light_loam_tpu.models.pipeline import run_kitti
+
+    result = str(tmp_path / "traj_99_chunked.txt")
+    outs = run_kitti(mini_kitti, "99", result, profile="hdl64",
+                     chunk_size=3)
+    assert os.path.exists(result)
+    assert not np.asarray(outs.diverged).any()
+
+    est = read_gt_poses(result)
+    assert est.shape == (5, 3, 4)
+    np.testing.assert_allclose(est[0], np.eye(4)[:3], atol=1e-6)
+
+    gt_cam = read_gt_poses(os.path.join(mini_kitti, "results", "99.txt"))
+    R, t = gt_to_lidar_frame(gt_cam)
+    gt = np.concatenate([R, t[:, :, None]], axis=2)
+    err = ate_rmse(est, gt)
+    assert err < 0.30, f"chunked replay ATE too high: {err}"
+
+
 def test_checkpoint_resume_continuity(tmp_path):
     """Resuming from a snapshot must reproduce the uninterrupted run."""
     from light_loam_tpu.models.pipeline import Pipeline, PROFILES
