@@ -358,6 +358,46 @@ def bench_batched(cfg, frames):
     return fps, None, extras
 
 
+def bench_batched_chunked(cfg, frames):
+    """B lanes x K frames per dispatch (models/batch.batched_chunk_step):
+    the two throughput axes composed.  Explicit-knob mode (`python
+    bench.py bchunk`), not in the default budget loop — run it on real
+    hardware to see whether the batched mode's per-step dispatch is
+    worth amortizing; if it wins, promote it."""
+    from light_loam_tpu.models.batch import batched_chunk_step
+
+    n_f = len(frames)
+    try:
+        K = int(os.environ.get("LLT_BENCH_CHUNK", "6"))
+    except ValueError:
+        K = 6
+    state = init_batch_state(cfg, BATCH)
+    xs = np.stack([[frames[(k + b) % n_f][0] for b in range(BATCH)]
+                   for k in range(K)])
+    ms = np.stack([[frames[(k + b) % n_f][1] for b in range(BATCH)]
+                   for k in range(K)])
+    dx, dm = jax.device_put(xs), jax.device_put(ms)
+    jax.block_until_ready((dx, dm))
+
+    t0 = time.perf_counter()
+    state, outs = batched_chunk_step(state, dx, dm, cfg)
+    jax.block_until_ready(outs[-1])
+    log(f"bchunk warm (incl. compile): {time.perf_counter()-t0:.1f}s")
+
+    n_rep = 4
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        state, outs = batched_chunk_step(state, dx, dm, cfg)
+    jax.block_until_ready((state, outs[-1]))
+    dt = time.perf_counter() - t0
+    fps = n_rep * K * BATCH / dt
+    extras = {"chunk_frames": K, "batch": BATCH,
+              "chunk_ms": round(dt / n_rep * 1000, 3)}
+    log(f"batched-chunked: {fps:.1f} frames/s aggregate "
+        f"({dt/n_rep*1000/K:.3f} ms per B={BATCH} step)")
+    return fps, np.asarray(outs[3][-1, 0]), extras
+
+
 def run_mode(mode: str) -> dict:
     cfg = HDL64_KITTI
     log(f"devices: {jax.devices()}")
@@ -375,6 +415,10 @@ def run_mode(mode: str) -> dict:
     elif mode == "chunked":
         fps, pose, extras = bench_chunked(cfg, frames)
         log(f"chunked: {fps:.1f} frames/s, final pose {pose.round(2)}")
+    elif mode == "bchunk":
+        fps, pose, extras = bench_batched_chunked(cfg, frames)
+        log(f"batched-chunked: {fps:.1f} frames/s aggregate, "
+            f"lane-0 pose {pose.round(2)}")
     else:
         fps, pose, extras = bench_batched(cfg, frames)
         log(f"batched (B={BATCH}): {fps:.1f} frames/s aggregate "

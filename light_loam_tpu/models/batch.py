@@ -43,14 +43,14 @@ def init_batch_state(cfg: PipelineConfig, batch: int) -> BatchState:
     return BatchState(odometry=stack(odo), mapping=stack(mp))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def batched_frame_step(
+def _batched_body(
     state: BatchState,
     xyz: jnp.ndarray,   # (B, max_points, 3)
     mask: jnp.ndarray,  # (B, max_points)
     cfg: PipelineConfig,
 ) -> Tuple[BatchState, OdometryOutput, MappingOutput]:
-    """One SLAM frame for B independent sequences."""
+    """One SLAM frame for B independent sequences (traced body shared by
+    the per-frame and chunked entry points)."""
 
     import dataclasses
     import os
@@ -93,3 +93,34 @@ def batched_frame_step(
         state.odometry, state.mapping, xyz, mask
     )
     return BatchState(odometry=odo_state, mapping=map_state), odo, mout
+
+
+# jitted per-frame entry point
+batched_frame_step = partial(jax.jit, static_argnames=("cfg",))(
+    _batched_body
+)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_chunk_step(
+    state: BatchState,
+    xyz: jnp.ndarray,   # (K, B, max_points, 3)
+    mask: jnp.ndarray,  # (K, B, max_points)
+    cfg: PipelineConfig,
+) -> Tuple[BatchState, Tuple[jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray, jnp.ndarray]]:
+    """K frames × B sequences per dispatch — lax.scan of the batched
+    body, composing the two throughput axes (models/fused.py's chunk
+    amortizes dispatch 1/K; the vmap fills the MXU with B lanes).  The
+    outputs are the per-frame poses only, (K, B, …) each:
+    (odom_q, odom_t, map_q, map_t) — stacking the full cloud outputs
+    over K would hold K copies of working-set-sized arrays for no
+    benchmark or replay use."""
+
+    def body(carry, inp):
+        x, m = inp
+        carry, odo, mout = _batched_body(carry, x, m, cfg)
+        return carry, (odo.q_w, odo.t_w, mout.q_w, mout.t_w)
+
+    state, outs = jax.lax.scan(body, state, (xyz, mask))
+    return state, outs

@@ -109,3 +109,37 @@ def test_batched_lanes_match_single_stream():
     np.testing.assert_allclose(
         np.asarray(mout_b.t_w), np.stack(single_map_t), atol=1e-2
     )
+
+
+def test_batched_chunk_matches_per_frame_batched():
+    """batched_chunk_step (lax.scan over K batched frames in ONE
+    program) must match K sequential batched_frame_step calls lane for
+    lane.  Tolerance: the scan body is a different XLA compilation of
+    the same trace — few-mm/frame reassociation-x-gate-flip random walk
+    (see tests/test_fused.py::test_chunked_scan_matches_per_frame_fused);
+    gate at 3 cm over 4 frames, frame 1 tight."""
+    from light_loam_tpu.models.batch import batched_chunk_step
+
+    frames = _lane_frames()
+    xs = np.stack([np.stack([lane[0] for lane in f]) for f in frames])
+    ms = np.stack([np.stack([lane[1] for lane in f]) for f in frames])
+
+    state = init_batch_state(CFG, B)
+    per_frame_map_t = []
+    for k in range(N_FRAMES):
+        state, odo, mout = batched_frame_step(state, xs[k], ms[k], CFG)
+        per_frame_map_t.append(np.asarray(mout.t_w))
+
+    state2 = init_batch_state(CFG, B)
+    state2, outs = batched_chunk_step(state2, xs, ms, CFG)
+    odom_q, odom_t, map_q, map_t = (np.asarray(o) for o in outs)
+
+    assert map_t.shape == (N_FRAMES, B, 3)
+    np.testing.assert_allclose(map_t, np.stack(per_frame_map_t),
+                               rtol=0, atol=3e-2)
+    np.testing.assert_allclose(map_t[1], per_frame_map_t[1],
+                               rtol=0, atol=1e-3)
+    # final carried state agrees
+    np.testing.assert_allclose(np.asarray(state2.odometry.t_w),
+                               np.asarray(state.odometry.t_w),
+                               rtol=0, atol=3e-2)
