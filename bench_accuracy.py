@@ -63,6 +63,11 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_step=True)
+    # LLT_ACC_CHUNK=K: replay through the chunked offline runner
+    # (models/fused.run_chunked) — trajectory-scale validation that the
+    # scan-compiled path's mm/frame compilation-variant walk stays
+    # bounded (tests gate 6 frames; this gates a full loop).
+    chunk = int(os.environ.get("LLT_ACC_CHUNK", "0"))
     tier = os.environ.get("LLT_MATMUL_PRECISION", "highest")
     log(f"devices: {jax.devices()}  precision tier: {tier}  "
         f"profile: {profile}  fused: {fused}")
@@ -103,17 +108,24 @@ def main():
     log(f"simulated {n_frames} {mode} frames (~{int(frames[0][1].sum())} pts)")
 
     t0 = time.time()
-    pipe = Pipeline(cfg)
-    for i, (xyz, mask) in enumerate(frames):
-        pipe.process_frame(xyz, mask)
-        if i == 0:
-            log(f"first frame (incl. compiles): {time.time()-t0:.1f}s")
-        elif i % 48 == 0:  # heartbeat for multi-hour long-horizon runs
-            log(f"frame {i}/{n_frames}  ({(time.time()-t0)/i:.2f} s/frame)")
-    pipe._retire_mapping(wait=True)
-    wall = time.time() - t0
+    if chunk > 1:
+        from light_loam_tpu.models.fused import run_chunked
 
-    est_q, est = pipe.mapped_trajectory()
+        _, _, outs = run_chunked(iter(frames), cfg, chunk_size=chunk)
+        est_q, est = np.asarray(outs.map_q), np.asarray(outs.map_t)
+        wall = time.time() - t0
+    else:
+        pipe = Pipeline(cfg)
+        for i, (xyz, mask) in enumerate(frames):
+            pipe.process_frame(xyz, mask)
+            if i == 0:
+                log(f"first frame (incl. compiles): {time.time()-t0:.1f}s")
+            elif i % 48 == 0:  # heartbeat for multi-hour long-horizon runs
+                log(f"frame {i}/{n_frames}  ({(time.time()-t0)/i:.2f} s/frame)")
+        pipe._retire_mapping(wait=True)
+        wall = time.time() - t0
+
+        est_q, est = pipe.mapped_trajectory()
     n = min(len(est), len(truth))
     err = est[:n] - truth[:n]
     ate = float(np.sqrt((err ** 2).sum(1).mean()))
@@ -150,6 +162,7 @@ def main():
         "profile": profile,
         "precision": tier,
         "fused": fused,
+        "chunk": chunk or None,
         "platform": jax.devices()[0].platform,
         "wall_s": round(wall, 1),
     }
