@@ -71,3 +71,23 @@ def sharded_batched_frame_step(state, xyz, mask, cfg: PipelineConfig):
     """One SLAM frame for B lane-sharded sequences — the jitted
     batched_frame_step itself; sharding rides the operands (GSPMD)."""
     return batched_frame_step(state, xyz, mask, cfg)
+
+
+def put_chunk_frames(xyz, mask, mesh: Mesh) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Place (K, B, P, 3)/(K, B, P) host chunks lane-sharded on dim 1
+    (the scan axis K stays unsharded — it is sequential by nature)."""
+    return (
+        jax.device_put(xyz, NamedSharding(mesh, P(None, AXIS, None, None))),
+        jax.device_put(mask, NamedSharding(mesh, P(None, AXIS, None))),
+    )
+
+
+def sharded_batched_chunk_step(state, xyz, mask, cfg: PipelineConfig):
+    """K frames × B lane-sharded sequences per dispatch — the jitted
+    batched_chunk_step (models/batch.py) with sharding riding the
+    operands: the scan carries the lane-sharded state through K
+    iterations with zero collectives, so the pod-scale offline replay
+    pays ONE dispatch per K frames per however many devices hold lanes."""
+    from light_loam_tpu.models.batch import batched_chunk_step
+
+    return batched_chunk_step(state, xyz, mask, cfg)

@@ -12,12 +12,18 @@ from light_loam_tpu.config import (
     PipelineConfig,
     ScanConfig,
 )
-from light_loam_tpu.models.batch import batched_frame_step, init_batch_state
+from light_loam_tpu.models.batch import (
+    batched_chunk_step,
+    batched_frame_step,
+    init_batch_state,
+)
 from light_loam_tpu.parallel.batch_sharded import (
     init_sharded_batch_state,
     make_data_mesh,
+    put_chunk_frames,
     put_frames,
     sharded_batched_frame_step,
+    sharded_batched_chunk_step,
 )
 from light_loam_tpu.utils.synthetic import World, simulate_scan, pad_cloud
 
@@ -84,3 +90,37 @@ def test_sharded_batch_matches_unsharded():
     t = np.asarray(sh_mout.t_w)
     assert np.isfinite(t).all()
     assert len(np.unique(t[:, 1].round(4))) > 1
+
+
+def test_sharded_chunk_matches_unsharded():
+    """K frames × B lane-sharded lanes in one scan'd dispatch must match
+    the unsharded chunk step — the pod-scale offline-replay composition
+    (dispatch amortized 1/K × lanes spread over the mesh)."""
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "tests run on the virtual 8-device mesh"
+    B, K = 8, 3
+    frames = _frames(B, K)
+    kx = jnp.asarray(np.stack([f[0] for f in frames]))  # (K, B, P, 3)
+    km = jnp.asarray(np.stack([f[1] for f in frames]))  # (K, B, P)
+
+    ref_state = init_batch_state(CFG, B)
+    ref_state, (rq_o, rt_o, rq_m, rt_m) = batched_chunk_step(
+        ref_state, kx, km, CFG
+    )
+
+    mesh = make_data_mesh(8)
+    sh_state = init_sharded_batch_state(CFG, B, mesh)
+    dx, dm = put_chunk_frames(np.asarray(kx), np.asarray(km), mesh)
+    sh_state, (sq_o, st_o, sq_m, st_m) = sharded_batched_chunk_step(
+        sh_state, dx, dm, CFG
+    )
+
+    # atol 1e-4: sharded-vs-single runs DIFFERENT XLA programs over the
+    # same trace; borderline gate flips give sub-mm per-frame deltas
+    # (same mechanism as tests/test_sharded.py) — don't tighten.
+    np.testing.assert_allclose(np.asarray(st_o), np.asarray(rt_o), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_m), np.asarray(rt_m), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sq_m), np.asarray(rq_m), atol=1e-3)
+    # the carried state stays lane-sharded through the scan
+    assert np.isfinite(np.asarray(st_m)).all()
+    assert st_m.shape == (K, B, 3)
