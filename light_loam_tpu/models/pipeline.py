@@ -448,6 +448,19 @@ class Pipeline:
         return q, t
 
 
+def _live_viz(pipe, prefix: str, every: int, frame_idx: int, gt=None):
+    """Refresh the PNG/HTML dashboard in place every ``every`` frames —
+    the live-view analog of the reference's rviz session (keep the HTML
+    open in a browser and reload).  Waits for in-flight mapping and
+    pulls the map stores to host, so it trades throughput for
+    observability; gate it with ``every``."""
+    if not prefix or not every or (frame_idx + 1) % every:
+        return
+    from light_loam_tpu.utils import viz
+
+    viz.render_pipeline(pipe, prefix, gt=gt)
+
+
 def run_synthetic(
     n_frames: int = 20,
     profile: str = "hdl64",
@@ -455,6 +468,8 @@ def run_synthetic(
     speed: float = 1.0,
     seed: int = 0,
     fused: bool = False,
+    viz_prefix: Optional[str] = None,
+    viz_every: int = 0,
 ):
     """Drive the pipeline over a simulated straight run; returns
     (pipeline, results, true positions)."""
@@ -478,6 +493,7 @@ def run_synthetic(
         xyz, mask = pad_cloud(pts, cfg.scan.max_points)
         results.append(pipe.process_frame(xyz, mask))
         truth.append(pos)
+        _live_viz(pipe, viz_prefix, viz_every, i, gt=np.asarray(truth))
     pipe._retire_mapping(wait=True)
     return pipe, results, np.asarray(truth)
 
@@ -491,6 +507,8 @@ def run_kitti(
     pose_source: str = "mapped",
     fused: bool = False,
     chunk_size: int = 0,
+    viz_prefix: Optional[str] = None,
+    viz_every: int = 0,
 ):
     """KITTI sequence → trajectory file (the reference's RESULT_PATH
     artifact, laserMapping.cpp:2284-2326).
@@ -551,6 +569,7 @@ def run_kitti(
             q, t = pipe.high_freq_pose(res.odom_q, res.odom_t)
             R = np.asarray(quat.quat_to_matrix(jnp.asarray(q)))
             writer.write(R, t)
+        _live_viz(pipe, viz_prefix, viz_every, count)
         count += 1
     pipe._retire_mapping(wait=True)
     if pose_source == "mapped":
@@ -577,6 +596,11 @@ def main():
                     help="write PNG quick-looks (PREFIX_traj.png, "
                          "PREFIX_map.png) after the run — the headless "
                          "stand-in for the reference's rviz launch")
+    ap.add_argument("--viz-every", type=int, default=0, metavar="N",
+                    help="with --viz: ALSO refresh the dashboard in "
+                         "place every N frames (live view — keep "
+                         "PREFIX_view.html open and reload; waits for "
+                         "in-flight mapping each refresh)")
     ap.add_argument("--fused", action="store_true",
                     help="latency mode: run each frame as ONE fused "
                          "device program (models/fused.py) instead of "
@@ -621,6 +645,7 @@ def main():
         pipe, results, truth = run_synthetic(
             n_frames=args.frames or 20, profile=args.profile,
             fused=args.fused,
+            viz_prefix=args.viz, viz_every=args.viz_every,
         )
         gt = truth
         err = np.linalg.norm(results[-1].odom_t - truth[-1])
@@ -628,7 +653,8 @@ def main():
     else:
         out = run_kitti(args.dataset, args.sequence, args.result,
                         args.profile, args.frames, fused=args.fused,
-                        chunk_size=args.chunk)
+                        chunk_size=args.chunk,
+                        viz_prefix=args.viz, viz_every=args.viz_every)
         print(f"trajectory written to {args.result}")
         if args.chunk > 1:
             print(f"wall: {time.time()-t0:.2f}s  (chunked replay, "

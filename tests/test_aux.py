@@ -281,3 +281,26 @@ def test_viz_renders(tmp_path):
         [("gt", truth), ("est", np.stack([r.odom_t for r in results]))],
     )
     assert (tmp_path / "tr.png").stat().st_size > 0
+
+
+def test_live_viz_refreshes(tmp_path, monkeypatch):
+    """--viz-every: the dashboard is re-rendered in place DURING the run
+    (the live-view analog of an rviz session), not just at the end."""
+    pytest.importorskip("matplotlib")
+    from light_loam_tpu.models import pipeline as pl
+    from light_loam_tpu.utils import viz
+
+    calls = []
+    real = viz.render_pipeline
+    monkeypatch.setattr(
+        viz, "render_pipeline",
+        lambda pipe, prefix, gt=None: calls.append(prefix) or real(
+            pipe, prefix, gt=gt),
+    )
+    pl.run_synthetic(
+        n_frames=4, profile="hdl64-small", n_azimuth=500, speed=0.5,
+        seed=3, viz_prefix=str(tmp_path / "live"), viz_every=2,
+    )
+    assert len(calls) == 2  # frames 2 and 4
+    assert (tmp_path / "live_view.html").exists()
+    assert (tmp_path / "live_map.png").exists()
