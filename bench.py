@@ -360,10 +360,11 @@ def bench_batched(cfg, frames):
 
 def bench_batched_chunked(cfg, frames):
     """B lanes x K frames per dispatch (models/batch.batched_chunk_step):
-    the two throughput axes composed.  Explicit-knob mode (`python
-    bench.py bchunk`), not in the default budget loop — run it on real
-    hardware to see whether the batched mode's per-step dispatch is
-    worth amortizing; if it wins, promote it."""
+    the two throughput axes composed.  Runs after batched in the default
+    budget loop (capped so its slow compile can't starve the diagnostic
+    modes) and takes the headline only when it measurably beats batched
+    — dispatch amortization is a win exactly when the batched mode is
+    dispatch-bound."""
     from light_loam_tpu.models.batch import batched_chunk_step
 
     n_f = len(frames)
@@ -453,14 +454,20 @@ def main():
     results = {}
     fps = 0.0
     mode_used = "none"
-    for mode in ("single", "batched", "fused", "chunked"):
+    for mode in ("single", "batched", "bchunk", "fused", "chunked"):
         budget_left = 560 - (time.time() - t_start)
         if budget_left < 120:
             log(f"skipping {mode} mode: only {budget_left:.0f}s budget left")
             continue
-        cap = min(300, budget_left - 10) if mode == "single" else (
-            budget_left - 10
-        )
+        if mode == "single":
+            cap = min(300, budget_left - 10)
+        elif mode == "bchunk":
+            # bchunk's vmapped+scanned program is the slowest remote
+            # compile of all; cap it so a compile hang can't starve the
+            # remaining diagnostic modes (leave >=130 s for one of them)
+            cap = max(60, budget_left - 140)
+        else:
+            cap = budget_left - 10
         try:
             out = subprocess.run(
                 [_sys.executable, __file__, mode],
@@ -469,12 +476,20 @@ def main():
             )
             sys.stderr.write(out.stderr)
             results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
-            # batched (aggregate) is the headline whenever it completes;
-            # fused only upgrades a single-stream headline when it is
-            # actually faster (fused can lose to staged off-TPU)
+            # aggregate modes (batched / bchunk) take the headline over
+            # single-stream ones; between aggregates the faster wins
+            # (bchunk amortizes dispatch 1/K — promote it only when that
+            # is a measured win).  fused only upgrades a single-stream
+            # headline when actually faster (fused can lose off-TPU).
             m_fps = results[mode]["fps"]
-            if mode == "batched" or mode_used == "none" or (
-                mode_used == "single" and mode == "fused" and m_fps > fps
+            agg_new = mode in ("batched", "bchunk")
+            agg_cur = mode_used in ("batched", "bchunk")
+            if (
+                mode_used == "none"
+                or (agg_new and not agg_cur)
+                or (agg_new and agg_cur and m_fps > fps)
+                or (mode_used == "single" and mode == "fused"
+                    and m_fps > fps)
             ):
                 fps = m_fps
                 mode_used = mode
@@ -489,7 +504,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         "mode": mode_used,
-        "batch": BATCH if mode_used == "batched" else 1,
+        "batch": BATCH if mode_used in ("batched", "bchunk") else 1,
     }
     b = results.get("batched")
     if b:
@@ -510,6 +525,10 @@ def main():
     if c:
         record["chunked_fps"] = round(c["fps"], 3)
         record["chunk_frames"] = c.get("chunk_frames")
+    bc = results.get("bchunk")
+    if bc:
+        record["bchunk_fps"] = round(bc["fps"], 3)
+        record["bchunk_frames"] = bc.get("chunk_frames")
     print(json.dumps(record))
 
 
