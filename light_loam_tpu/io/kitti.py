@@ -179,14 +179,6 @@ class KittiPoseWriter:
             f.write(" ".join(f"{v:.6e}" for v in row) + "\n")
 
 
-def ate_rmse(traj: np.ndarray, gt: np.ndarray) -> float:
-    """Absolute trajectory error (RMSE of translation) after first-pose
-    alignment; traj/gt are (N, 3, 4) pose arrays in the same frame."""
-    n = min(len(traj), len(gt))
-    errs = traj[:n, :, 3] - gt[:n, :, 3]
-    return float(np.sqrt(np.mean(np.sum(errs**2, axis=1))))
-
-
 def main():
     """Dataset replay / inspection CLI — the kittiHelper role
     (kittiHelper.cpp:34-178) without ROS: stream a sequence at

@@ -43,25 +43,21 @@ def init_batch_state(cfg: PipelineConfig, batch: int) -> BatchState:
     return BatchState(odometry=stack(odo), mapping=stack(mp))
 
 
-def _batched_body(
-    state: BatchState,
-    xyz: jnp.ndarray,   # (B, max_points, 3)
-    mask: jnp.ndarray,  # (B, max_points)
-    cfg: PipelineConfig,
-) -> Tuple[BatchState, OdometryOutput, MappingOutput]:
-    """One SLAM frame for B independent sequences (traced body shared by
-    the per-frame and chunked entry points)."""
+def _resolve_batch_cfg(cfg: PipelineConfig) -> PipelineConfig:
+    """Resolve "auto" vote backends (and the LLT_BATCH_VOTE_BACKEND A/B
+    override) OUTSIDE the traced body.  jit caches on cfg, so baking the
+    choice into cfg keys the compilation cache correctly — an env read
+    inside the trace is captured at first compile and a later flip of
+    the knob in the same process would silently reuse the old backend.
 
+    The pallas vote carries a custom vmap rule (batch folded into the
+    kernel grid, ops/pallas_vote.py), so both backends vmap cleanly.
+    "auto" resolves to the measured-best batched default (XLA: its vote
+    fuses into the surrounding batched program, while the pallas launch
+    is a separate program boundary per step)."""
     import dataclasses
     import os
 
-    # The pallas vote now carries a custom vmap rule (batch folded into
-    # the kernel grid, ops/pallas_vote.py), so both backends vmap
-    # cleanly.  "auto" resolves to the measured-best batched default
-    # (XLA: its vote fuses into the surrounding batched program, while
-    # the pallas launch is a separate program boundary per step);
-    # explicit config values and LLT_BATCH_VOTE_BACKEND are honored —
-    # the latter is the A/B knob for re-measuring on real hardware.
     forced = os.environ.get("LLT_BATCH_VOTE_BACKEND", "").strip()
 
     def pick(backend: str) -> str:
@@ -69,15 +65,32 @@ def _batched_body(
             return forced
         return "xla" if backend == "auto" else backend
 
-    odo_cfg = dataclasses.replace(
-        cfg.odometry, vote_backend=pick(cfg.odometry.vote_backend))
-    map_cfg = dataclasses.replace(
-        cfg.mapping, vote_backend=pick(cfg.mapping.vote_backend))
+    odo_b = pick(cfg.odometry.vote_backend)
+    map_b = pick(cfg.mapping.vote_backend)
+    if (odo_b, map_b) == (cfg.odometry.vote_backend,
+                          cfg.mapping.vote_backend):
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        odometry=dataclasses.replace(cfg.odometry, vote_backend=odo_b),
+        mapping=dataclasses.replace(cfg.mapping, vote_backend=map_b),
+    )
+
+
+def _batched_body(
+    state: BatchState,
+    xyz: jnp.ndarray,   # (B, max_points, 3)
+    mask: jnp.ndarray,  # (B, max_points)
+    cfg: PipelineConfig,
+) -> Tuple[BatchState, OdometryOutput, MappingOutput]:
+    """One SLAM frame for B independent sequences (traced body shared by
+    the per-frame and chunked entry points).  ``cfg`` must already carry
+    resolved vote backends (see _resolve_batch_cfg)."""
 
     def one(odo_state, map_state, xyz, mask):
         feats = extract_features(xyz, mask, cfg.scan)
         odo_state, odo = odometry_step(
-            odo_state, feats, odo_cfg, cfg.scan.scan_period
+            odo_state, feats, cfg.odometry, cfg.scan.scan_period
         )
         map_state, mout = mapping_step(
             map_state,
@@ -85,7 +98,7 @@ def _batched_body(
             odo_state.surf_last,
             odo.q_w,
             odo.t_w,
-            map_cfg,
+            cfg.mapping,
         )
         return odo_state, map_state, odo, mout
 
@@ -95,14 +108,20 @@ def _batched_body(
     return BatchState(odometry=odo_state, mapping=map_state), odo, mout
 
 
-# jitted per-frame entry point
-batched_frame_step = partial(jax.jit, static_argnames=("cfg",))(
+_batched_frame_step_jit = partial(jax.jit, static_argnames=("cfg",))(
     _batched_body
 )
 
 
+def batched_frame_step(state, xyz, mask, cfg: PipelineConfig):
+    """Jitted per-frame entry point; resolves the vote-backend knobs
+    eagerly so the env override keys the jit cache."""
+    return _batched_frame_step_jit(state, xyz, mask,
+                                   cfg=_resolve_batch_cfg(cfg))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def batched_chunk_step(
+def _batched_chunk_step_jit(
     state: BatchState,
     xyz: jnp.ndarray,   # (K, B, max_points, 3)
     mask: jnp.ndarray,  # (K, B, max_points)
@@ -124,3 +143,10 @@ def batched_chunk_step(
 
     state, outs = jax.lax.scan(body, state, (xyz, mask))
     return state, outs
+
+
+def batched_chunk_step(state, xyz, mask, cfg: PipelineConfig):
+    """Jitted chunked entry point; resolves the vote-backend knobs
+    eagerly so the env override keys the jit cache."""
+    return _batched_chunk_step_jit(state, xyz, mask,
+                                   cfg=_resolve_batch_cfg(cfg))

@@ -374,8 +374,11 @@ class Pipeline:
         if quats is None and self._map_trajectory:
             # legacy checkpoint (trajectory saved before quats were):
             # identity rotations keep the lists in lockstep so
-            # mapped_trajectory()/save() don't crash on np.stack
-            quats = [np.array([1.0, 0, 0, 0], np.float32)
+            # mapped_trajectory()/save() don't crash on np.stack.  The
+            # package layout is xyzw (quat_identity() == [0,0,0,1]);
+            # [1,0,0,0] here would be a 180-deg x-rotation silently
+            # persisted as real data on the next save().
+            quats = [np.asarray(quat.quat_identity(), np.float32)
                      for _ in self._map_trajectory]
         self._map_quats = [] if quats is None else list(quats)
         # restore containment fallbacks (older checkpoints without the

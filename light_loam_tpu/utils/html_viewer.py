@@ -171,7 +171,10 @@ def export_pipeline_html(pipe, path: str,
     corner+surf map stores plus mapped (and optional GT) trajectories."""
     from light_loam_tpu.models.mapping import full_map_cloud
 
-    mapped = pipe.mapped_positions()  # waits for in-flight mapping
+    # mapped_positions() retires any in-flight mapping step
+    # (pipeline._retire_mapping(wait=True)), so the map_state read BELOW
+    # it is the post-retirement one — keep this call first.
+    mapped = pipe.mapped_positions()
     (cxz, cm), (sxz, sm) = full_map_cloud(pipe.map_state)
     clouds = [
         ("surf", np.asarray(sxz), np.asarray(sm)),

@@ -93,8 +93,10 @@ def test_legacy_checkpoint_without_map_quats(tmp_path):
     fresh.load(legacy)
     qs, ts = fresh.mapped_trajectory()
     assert len(qs) == len(ts) == len(pipe.mapped_positions())
+    # xyzw layout: identity is [0,0,0,1] ([1,0,0,0] would be a 180-deg
+    # x-rotation written into every pre-upgrade row)
     np.testing.assert_allclose(
-        qs, np.tile([1.0, 0, 0, 0], (len(ts), 1)), atol=0
+        qs, np.tile([0.0, 0, 0, 1.0], (len(ts), 1)), atol=0
     )
     # re-saving the restored pipeline round-trips
     fresh.save(str(tmp_path / "resave.npz"))
