@@ -59,6 +59,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def emit(record: dict):
+    """Print a (possibly partial) result record as one JSON line, NOW.
+
+    The child emits after EVERY completed measurement milestone, so a
+    wrapper-side timeout kill during post-measurement extras (stage
+    timing, cost analysis, diagnostics) can never lose a measurement
+    that already happened — the wrapper parses the LAST parseable JSON
+    line of whatever stdout the child got out (round-2 lesson: one bad
+    tunnel day zeroed the whole artifact)."""
+    record.setdefault("platform", jax.devices()[0].platform)
+    print(json.dumps(record), flush=True)
+
+
 # peak dense-matmul throughput per chip by device kind, FLOP/s.  bf16
 # figures (public spec sheets); the engine runs f32 with HIGHEST-precision
 # matmuls where correctness requires it, so MFU vs the bf16 peak is a
@@ -112,12 +125,12 @@ def flops_of(jitted_call, *args, **kwargs):
         return None
 
 
-def make_frames(cfg, n):
+def make_frames(cfg, n, n_azimuth=1800):
     world = World.urban(seed=0)
     frames = []
     for i in range(n):
         pts = simulate_scan(world, np.array([0.8 * i, 0.0, 0.0]),
-                            n_azimuth=1800, noise=0.01, seed=i)
+                            n_azimuth=n_azimuth, noise=0.01, seed=i)
         frames.append(pad_cloud(pts, cfg.scan.max_points))
     return frames
 
@@ -161,19 +174,26 @@ def bench_single(cfg, frames):
     jax.block_until_ready((odo_state, map_state, mout))
     dt = time.perf_counter() - t0
     fps = N_BENCH / dt
+    emit({"fps": fps})  # headline measurement banked before any extras
 
     # ---- per-stage blocked timing (VERDICT: stage_ms breakdown) ----
+    # Reuses the executables compiled during the warm loop — no new
+    # compiles here.  The per-stage FLOP cost analysis needs an AOT
+    # .lower().compile() per stage: three SECOND full remote compiles
+    # (1-7 min each through this harness's uncached tunnel), which is
+    # what blew the round-2 single-mode cap and zeroed the artifact —
+    # gated behind LLT_BENCH_FLOPS=1 exactly like the batched mode.
     stage_ms = {}
     flops = {}
     x0, m0 = puts[0]
     n_rep = 4
+    want_flops = os.environ.get("LLT_BENCH_FLOPS") == "1"
 
     t0 = time.perf_counter()
     for _ in range(n_rep):
         feats = extract_features(x0, m0, cfg.scan)
         jax.block_until_ready(feats.sharp.xyz)
     stage_ms["features"] = (time.perf_counter() - t0) / n_rep * 1000
-    flops["features"] = flops_of(extract_features, x0, m0, cfg.scan)
 
     t0 = time.perf_counter()
     for _ in range(n_rep):
@@ -181,8 +201,6 @@ def bench_single(cfg, frames):
                                         cfg.scan.scan_period)
         jax.block_until_ready(odo.t_w)
     stage_ms["odometry"] = (time.perf_counter() - t0) / n_rep * 1000
-    flops["odometry"] = flops_of(odometry_step, odo_state, feats,
-                                 cfg.odometry, cfg.scan.scan_period)
 
     t0 = time.perf_counter()
     for _ in range(n_rep):
@@ -192,21 +210,28 @@ def bench_single(cfg, frames):
         )
         jax.block_until_ready(mout2.t_w)
     stage_ms["mapping"] = (time.perf_counter() - t0) / n_rep * 1000
-    flops["mapping"] = flops_of(
-        mapping_step, map_state, odo_state.corner_last,
-        odo_state.surf_last, odo.q_w, odo.t_w, cfg.mapping,
-    )
+
+    extras = {"stage_ms": {k: round(v, 3) for k, v in stage_ms.items()}}
+    emit({"fps": fps, **extras})  # stage breakdown banked pre-flops
+
+    if want_flops:
+        flops["features"] = flops_of(extract_features, x0, m0, cfg.scan)
+        emit({"fps": fps, **extras})  # keep banking between slow compiles
+        flops["odometry"] = flops_of(odometry_step, odo_state, feats,
+                                     cfg.odometry, cfg.scan.scan_period)
+        emit({"fps": fps, **extras})
+        flops["mapping"] = flops_of(
+            mapping_step, map_state, odo_state.corner_last,
+            odo_state.surf_last, odo.q_w, odo.t_w, cfg.mapping,
+        )
 
     total_flops = (sum(v for v in flops.values() if v)
                    if any(flops.values()) else None)
     mfu = None
     if total_flops:
         mfu = total_flops * fps / peak_flops()
-    extras = {
-        "stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
-        "flops_per_frame": total_flops,
-        "mfu_est": round(mfu, 5) if mfu is not None else None,
-    }
+    extras["flops_per_frame"] = total_flops
+    extras["mfu_est"] = round(mfu, 5) if mfu is not None else None
     _flag_mfu_anomaly(extras)
     log(f"stage_ms: {extras['stage_ms']}  flops/frame: {total_flops}  "
         f"mfu≈{extras['mfu_est']}")
@@ -238,6 +263,7 @@ def bench_fused(cfg, frames):
             odo_state, map_state, *puts[(N_WARM + i) % len(puts)], cfg)
     jax.block_until_ready((odo_state, map_state, mout))
     fps = N_BENCH / (time.perf_counter() - t0)
+    emit({"fps": fps})
 
     # per-step latency with a host sync every step (the pipeline's
     # sync-mapping operating point)
@@ -280,6 +306,7 @@ def bench_chunked(cfg, frames):
     jax.block_until_ready((odo_state, map_state, outs.map_t))
     dt = time.perf_counter() - t0
     fps = n_rep * K / dt
+    emit({"fps": fps})
     extras = {"chunk_frames": K,
               "chunk_ms": round(dt / n_rep * 1000, 3)}
     log(f"chunked: {fps:.1f} frames/s ({dt/n_rep*1000/K:.3f} ms/frame, "
@@ -320,6 +347,7 @@ def bench_batched(cfg, frames):
         )
     jax.block_until_ready((state, mout))
     dt = time.perf_counter() - t0
+    emit({"fps": N_TIMED * BATCH / dt})
 
     # transparency: per-step latency with a host sync every step
     t1 = time.perf_counter()
@@ -339,7 +367,15 @@ def bench_batched(cfg, frames):
     # three small programs; only compute it here when explicitly asked.
     step_flops = None
     if os.environ.get("LLT_BENCH_FLOPS") == "1":
-        step_flops = flops_of(batched_frame_step, state, *puts[0], cfg)
+        # .lower() needs the jit object itself (batched_frame_step is an
+        # eager wrapper that resolves the vote-backend knob into cfg)
+        from light_loam_tpu.models.batch import (
+            _batched_frame_step_jit,
+            _resolve_batch_cfg,
+        )
+
+        step_flops = flops_of(_batched_frame_step_jit, state, *puts[0],
+                              cfg=_resolve_batch_cfg(cfg))
     mfu = None
     if step_flops:
         # fps counts frames (=lanes·steps); flops are per step of BATCH lanes
@@ -392,6 +428,7 @@ def bench_batched_chunked(cfg, frames):
     jax.block_until_ready((state, outs[-1]))
     dt = time.perf_counter() - t0
     fps = n_rep * K * BATCH / dt
+    emit({"fps": fps})
     extras = {"chunk_frames": K, "batch": BATCH,
               "chunk_ms": round(dt / n_rep * 1000, 3)}
     log(f"batched-chunked: {fps:.1f} frames/s aggregate "
@@ -399,10 +436,26 @@ def bench_batched_chunked(cfg, frames):
     return fps, np.asarray(outs[3][-1, 0]), extras
 
 
-def run_mode(mode: str) -> dict:
-    cfg = HDL64_KITTI
+# fallback profile: reduced static shapes => the whole three-program
+# chain compiles in seconds instead of minutes, so SOME on-device number
+# lands even when the tunnel is too slow to compile the flagship inside
+# the budget.  Azimuth scaled with h_max (1024 cols vs 2048).
+PROFILES = {"hdl64": (HDL64_KITTI, 1800)}
+
+
+def _small_profile():
+    from light_loam_tpu.config import HDL64_SMALL
+
+    return HDL64_SMALL, 600
+
+
+def run_mode(mode: str, profile: str = "hdl64") -> dict:
+    if profile == "hdl64-small":
+        cfg, n_azimuth = _small_profile()
+    else:
+        cfg, n_azimuth = PROFILES[profile]
     log(f"devices: {jax.devices()}")
-    frames = make_frames(cfg, N_WARM + N_BENCH)
+    frames = make_frames(cfg, N_WARM + N_BENCH, n_azimuth)
     log(f"synthetic frames: {len(frames)}, ~{int(frames[0][1].sum())} pts each")
     t0 = time.time()
     if mode == "single":
@@ -425,35 +478,101 @@ def run_mode(mode: str) -> dict:
         log(f"batched (B={BATCH}): {fps:.1f} frames/s aggregate "
             f"({1000*BATCH/fps:.2f} ms/step)")
     log(f"{mode} wall (incl. compiles): {time.time()-t0:.1f}s")
-    return {"fps": fps, **extras}
+    return {"fps": fps, "platform": jax.devices()[0].platform, **extras}
+
+
+def _run_child(mode: str, profile: str, cap: float, env=None):
+    """Run one bench mode in a subprocess with stdout captured to a
+    file, so a timeout kill can NEVER lose output the child already
+    flushed (subprocess.run+PIPE discards partial output on some
+    versions).  Returns (last-parseable-JSON-record-or-None, timed_out).
+    """
+    import subprocess
+    import tempfile
+
+    timed_out = False
+    with tempfile.TemporaryFile("w+") as outf, \
+            tempfile.TemporaryFile("w+") as errf:
+        p = subprocess.Popen(
+            [sys.executable, __file__, mode, profile],
+            stdout=outf, stderr=errf, env=env,
+        )
+        try:
+            p.wait(timeout=max(60, cap))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            p.kill()
+            p.wait()
+        errf.seek(0)
+        sys.stderr.write(errf.read())
+        outf.seek(0)
+        lines = outf.read().splitlines()
+    for line in reversed(lines):
+        try:
+            rec = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(rec, dict) and "fps" in rec:
+            if timed_out:
+                rec["salvaged"] = True
+                log(f"{mode}@{profile}: salvaged partial record after "
+                    f"timeout at {cap:.0f}s")
+            return rec, timed_out
+    return None, timed_out
 
 
 def main():
-    # NOTE: the two modes run in separate processes — with both compiled
-    # programs resident, this harness's remote-TPU runtime thrashes its
-    # executable cache and every step pays a ~7.6 s program reload.  One
-    # program per process sidesteps the fixture artifact.
-    import subprocess
-    import sys as _sys
-
-    if len(_sys.argv) > 1:
-        print(json.dumps(run_mode(_sys.argv[1])))
+    # NOTE: each mode runs in its own subprocess — with two large
+    # compiled programs resident, this harness's remote-TPU runtime
+    # thrashes its executable cache and every step pays a ~7.6 s program
+    # reload.  One program per process sidesteps the fixture artifact.
+    if len(sys.argv) > 1:
+        profile = sys.argv[2] if len(sys.argv) > 2 else "hdl64"
+        print(json.dumps(run_mode(sys.argv[1], profile)))
         return
 
-    # single-stream runs FIRST: it compiles reliably inside the budget
-    # (~190 s incl. remote compiles) and carries the per-stage device-time
-    # breakdown and MFU estimate, so a valid artifact is guaranteed.
-    # Batched — the bigger headline number — then gets the remaining
-    # budget; its vmapped program is the slowest remote compile and on bad
-    # tunnel days (compiles are 1-7 min, no persistent cache) it can blow
-    # any cap, in which case the single-stream record stands.  The fused
-    # latency mode (one program/frame) runs LAST on whatever budget is
-    # left — a diagnostic for the single-stream headline, never at the
-    # expense of the batched one.
+    # single-stream runs FIRST (its three small programs are the fastest
+    # compiles and carry the stage_ms breakdown), and its measurement is
+    # banked the moment the timed loop ends (emit() in the child +
+    # salvage in _run_child), so a kill during extras can't zero it.
+    # If it STILL lands nothing (tunnel too slow to compile even the
+    # flagship), the hdl64-small fallback — seconds to compile — runs
+    # immediately so an on-device number exists before the throughput
+    # modes get the remaining budget.  Batched/bchunk are the bigger
+    # headline numbers and the slowest remote compiles; fused/chunked
+    # are diagnostics that take whatever is left.  Last resort: one CPU
+    # run, clearly labeled platform=cpu — an honest number beats a zero.
     t_start = time.time()
     results = {}
     fps = 0.0
     mode_used = "none"
+    profile_used = "hdl64"
+
+    def consider(mode, rec, profile="hdl64"):
+        """Headline promotion: aggregate modes (batched/bchunk) beat
+        single-stream ones; between aggregates the faster wins; fused
+        only upgrades a single-stream headline when actually faster.
+        Fallback-profile records never outrank a flagship one."""
+        nonlocal fps, mode_used, profile_used
+        if rec is None:
+            return
+        results[mode] = rec
+        if profile != "hdl64" and mode_used != "none":
+            return
+        m_fps = rec["fps"]
+        agg_new = mode in ("batched", "bchunk")
+        agg_cur = mode_used in ("batched", "bchunk")
+        if (
+            mode_used == "none"
+            or (agg_new and not agg_cur)
+            or (agg_new and agg_cur and m_fps > fps)
+            or (mode_used == "single" and mode == "fused" and m_fps > fps)
+            or (profile_used != "hdl64" and profile == "hdl64")
+        ):
+            fps = m_fps
+            mode_used = mode
+            profile_used = profile
+
     for mode in ("single", "batched", "bchunk", "fused", "chunked"):
         budget_left = 560 - (time.time() - t_start)
         if budget_left < 120:
@@ -469,32 +588,34 @@ def main():
         else:
             cap = budget_left - 10
         try:
-            out = subprocess.run(
-                [_sys.executable, __file__, mode],
-                capture_output=True, text=True,
-                timeout=max(60, cap),
-            )
-            sys.stderr.write(out.stderr)
-            results[mode] = json.loads(out.stdout.strip().splitlines()[-1])
-            # aggregate modes (batched / bchunk) take the headline over
-            # single-stream ones; between aggregates the faster wins
-            # (bchunk amortizes dispatch 1/K — promote it only when that
-            # is a measured win).  fused only upgrades a single-stream
-            # headline when actually faster (fused can lose off-TPU).
-            m_fps = results[mode]["fps"]
-            agg_new = mode in ("batched", "bchunk")
-            agg_cur = mode_used in ("batched", "bchunk")
-            if (
-                mode_used == "none"
-                or (agg_new and not agg_cur)
-                or (agg_new and agg_cur and m_fps > fps)
-                or (mode_used == "single" and mode == "fused"
-                    and m_fps > fps)
-            ):
-                fps = m_fps
-                mode_used = mode
-        except Exception as e:  # noqa: BLE001 - fall back to the other mode
+            rec, _ = _run_child(mode, "hdl64", cap)
+            consider(mode, rec)
+        except Exception as e:  # noqa: BLE001 - keep sweeping
             log(f"{mode} bench failed: {e}")
+
+        # fast-compile fallback the moment the guaranteed-artifact mode
+        # fails — not at the end, when the budget may be gone
+        if mode == "single" and mode_used == "none":
+            fb_cap = min(150, 560 - (time.time() - t_start) - 10)
+            try:
+                rec, _ = _run_child("single", "hdl64-small", fb_cap)
+                consider("single_small", rec, profile="hdl64-small")
+            except Exception as e:  # noqa: BLE001
+                log(f"hdl64-small fallback failed: {e}")
+
+    if mode_used == "none":
+        # tunnel fully down: one CPU run (small profile — CPU compiles
+        # in seconds and steps fast) so the artifact is a real
+        # measurement of the engine, clearly labeled, not a zero
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        cpu_cap = max(60, 560 - (time.time() - t_start) - 10)
+        try:
+            rec, _ = _run_child("single", "hdl64-small", cpu_cap, env=env)
+            consider("single_cpu", rec)
+            if rec is not None:
+                profile_used = "hdl64-small@cpu"
+        except Exception as e:  # noqa: BLE001
+            log(f"cpu fallback failed: {e}")
 
     # mode/batch recorded so runs at different configurations stay
     # comparable (aggregate fps scales with BATCH in batched mode)
@@ -504,8 +625,15 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         "mode": mode_used,
+        "profile": profile_used,
         "batch": BATCH if mode_used in ("batched", "bchunk") else 1,
     }
+    headline = results.get(mode_used)
+    if headline:
+        if headline.get("platform"):
+            record["platform"] = headline["platform"]
+        if headline.get("salvaged"):
+            record["salvaged"] = True
     b = results.get("batched")
     if b:
         record["mfu_est"] = b.get("mfu_est")
