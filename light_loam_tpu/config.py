@@ -253,6 +253,13 @@ class MappingConfig:
     stack_surf_capacity: int = 8192
     # k-NN map tile (streamed over map points to bound memory).
     knn_tile: int = 8192
+    # 5-NN search backend for the scan-to-map hot loop: "xla" streams
+    # (Q, tile) distance blocks + top_k merges through HBM
+    # (ops/knn.knn_tiled); "pallas" fuses distance + running top-k in
+    # VMEM (ops/pallas_knn.py).  Default pends the on-device A/B —
+    # semantics are equivalence-gated either way
+    # (tests/test_pallas_knn.py).
+    knn_backend: str = "xla"
 
     @property
     def n_cells(self) -> int:

@@ -372,8 +372,14 @@ def mapping_step(
     # 4. scan-to-map refinement (2 outer × 4 LM)
     def neighbours(stack_xyz, local_xyz, local_mask, q_w, t_w):
         p_sel = quat.quat_rotate(q_w[None, :], stack_xyz) + t_w[None, :]
-        d, idx = knn.knn_tiled(p_sel, local_xyz, local_mask, k=cfg.knn_k,
-                               tile=cfg.knn_tile)
+        if cfg.knn_backend == "pallas":
+            from light_loam_tpu.ops.pallas_knn import knn_pallas
+
+            d, idx = knn_pallas(p_sel, local_xyz, local_mask, k=cfg.knn_k,
+                                interpret=jax.default_backend() != "tpu")
+        else:
+            d, idx = knn.knn_tiled(p_sel, local_xyz, local_mask,
+                                   k=cfg.knn_k, tile=cfg.knn_tile)
         return d, local_xyz[idx]
 
     n_cf = jnp.int32(0)
