@@ -454,6 +454,18 @@ def run_mode(mode: str, profile: str = "hdl64") -> dict:
         cfg, n_azimuth = _small_profile()
     else:
         cfg, n_azimuth = PROFILES[profile]
+    # LLT_KNN_BACKEND=pallas|xla: A/B knob for the scan-to-map 5-NN
+    # backend (MappingConfig.knn_backend).  Resolved eagerly into cfg —
+    # jit caches on cfg, so the choice keys the compilation cache (same
+    # rationale as models/batch._resolve_batch_cfg).
+    knn_forced = os.environ.get("LLT_KNN_BACKEND", "").strip()
+    if knn_forced:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, mapping=dataclasses.replace(cfg.mapping,
+                                             knn_backend=knn_forced))
+        log(f"knn_backend forced to {knn_forced!r}")
     log(f"devices: {jax.devices()}")
     frames = make_frames(cfg, N_WARM + N_BENCH, n_azimuth)
     log(f"synthetic frames: {len(frames)}, ~{int(frames[0][1].sum())} pts each")

