@@ -59,6 +59,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def d2h_sync(x):
+    """The ONLY reliable execution barrier on the axon platform.
+
+    Measured 2026-08-19 (MEASUREMENTS_r03.json block-semantics audit):
+    `jax.block_until_ready` returns ~0.3 ms after enqueueing 16 large
+    chunk executions whose real device time was 254 s — on this PJRT
+    plugin it waits on the dispatch future, not on remote execution.
+    A small device-to-host read is the only call that drains the queue,
+    so every timed loop here ends in one.  Keep the synced array small
+    and UNSLICED (indexing a device array compiles a new remote program
+    mid-measurement)."""
+    return np.asarray(x)
+
+
 def emit(record: dict):
     """Print a (possibly partial) result record as one JSON line, NOW.
 
@@ -162,16 +176,16 @@ def bench_single(cfg, frames):
         return odo_state, map_state, mout
 
     puts = [(jax.device_put(x), jax.device_put(m)) for x, m in frames]
-    jax.block_until_ready(puts)
+    d2h_sync(puts[-1][1])
     for i in range(N_WARM):
         odo_state, map_state, mout = step(odo_state, map_state, *puts[i])
-    jax.block_until_ready((odo_state, map_state))
+    d2h_sync(mout.t_w)
 
     t0 = time.perf_counter()
     for i in range(N_BENCH):
         odo_state, map_state, mout = step(odo_state, map_state,
                                           *puts[(N_WARM + i) % len(puts)])
-    jax.block_until_ready((odo_state, map_state, mout))
+    d2h_sync(mout.t_w)
     dt = time.perf_counter() - t0
     fps = N_BENCH / dt
     emit({"fps": fps})  # headline measurement banked before any extras
@@ -192,14 +206,14 @@ def bench_single(cfg, frames):
     t0 = time.perf_counter()
     for _ in range(n_rep):
         feats = extract_features(x0, m0, cfg.scan)
-        jax.block_until_ready(feats.sharp.xyz)
+    d2h_sync(feats.sharp.xyz)
     stage_ms["features"] = (time.perf_counter() - t0) / n_rep * 1000
 
     t0 = time.perf_counter()
     for _ in range(n_rep):
         odo_state2, odo = odometry_step(odo_state, feats, cfg.odometry,
                                         cfg.scan.scan_period)
-        jax.block_until_ready(odo.t_w)
+    d2h_sync(odo.t_w)
     stage_ms["odometry"] = (time.perf_counter() - t0) / n_rep * 1000
 
     t0 = time.perf_counter()
@@ -208,7 +222,7 @@ def bench_single(cfg, frames):
             map_state, odo_state.corner_last, odo_state.surf_last,
             odo.q_w, odo.t_w, cfg.mapping,
         )
-        jax.block_until_ready(mout2.t_w)
+    d2h_sync(mout2.t_w)
     stage_ms["mapping"] = (time.perf_counter() - t0) / n_rep * 1000
 
     extras = {"stage_ms": {k: round(v, 3) for k, v in stage_ms.items()}}
@@ -248,20 +262,20 @@ def bench_fused(cfg, frames):
     odo_state = OdometryState.init(cfg.scan.max_less_sharp, cfg.scan.max_less_flat)
     map_state = MappingState.init(cfg.mapping)
     puts = [(jax.device_put(x), jax.device_put(m)) for x, m in frames]
-    jax.block_until_ready(puts)
+    d2h_sync(puts[-1][1])
 
     t0 = time.perf_counter()
     for i in range(N_WARM):
         odo_state, map_state, odo, mout, div = fused_frame_step(
             odo_state, map_state, *puts[i], cfg)
-    jax.block_until_ready((odo_state, map_state))
+    d2h_sync(mout.t_w)
     log(f"fused warm (incl. compile): {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
     for i in range(N_BENCH):
         odo_state, map_state, odo, mout, div = fused_frame_step(
             odo_state, map_state, *puts[(N_WARM + i) % len(puts)], cfg)
-    jax.block_until_ready((odo_state, map_state, mout))
+    d2h_sync(mout.t_w)
     fps = N_BENCH / (time.perf_counter() - t0)
     emit({"fps": fps})
 
@@ -271,7 +285,7 @@ def bench_fused(cfg, frames):
     for i in range(4):
         odo_state, map_state, odo, mout, div = fused_frame_step(
             odo_state, map_state, *puts[(N_WARM + i) % len(puts)], cfg)
-        jax.block_until_ready(mout.t_w)
+        d2h_sync(mout.t_w)
     blocked_ms = (time.perf_counter() - t1) / 4 * 1000
     extras = {"blocked_step_ms": round(blocked_ms, 3)}
     log(f"fused blocked-per-step: {blocked_ms:.2f} ms")
@@ -290,12 +304,12 @@ def bench_chunked(cfg, frames):
     map_state = MappingState.init(cfg.mapping)
     xs = jax.device_put(np.stack([f[0] for f in frames]))
     ms = jax.device_put(np.stack([f[1] for f in frames]))
-    jax.block_until_ready((xs, ms))
+    d2h_sync(ms)
 
     t0 = time.perf_counter()
     odo_state, map_state, outs = fused_chunk_step(odo_state, map_state,
                                                   xs, ms, cfg)
-    jax.block_until_ready(outs.map_t)
+    d2h_sync(outs.map_t)
     log(f"chunk warm (incl. compile): {time.perf_counter()-t0:.1f}s")
 
     n_rep = 4
@@ -303,7 +317,7 @@ def bench_chunked(cfg, frames):
     for _ in range(n_rep):
         odo_state, map_state, outs = fused_chunk_step(odo_state, map_state,
                                                       xs, ms, cfg)
-    jax.block_until_ready((odo_state, map_state, outs.map_t))
+    d2h_sync(outs.map_t)
     dt = time.perf_counter() - t0
     fps = n_rep * K / dt
     emit({"fps": fps})
@@ -335,17 +349,17 @@ def bench_batched(cfg, frames):
         xs = np.stack([frames[(i + b) % n_f][0] for b in range(BATCH)])
         ms = np.stack([frames[(i + b) % n_f][1] for b in range(BATCH)])
         puts.append((jax.device_put(xs), jax.device_put(ms)))
-    jax.block_until_ready(puts)
+    d2h_sync(puts[-1][1])
     for i in range(N_WARM):
         state, odo, mout = batched_frame_step(state, *puts[i], cfg)
-    jax.block_until_ready(state)
+    d2h_sync(mout.t_w)
 
     t0 = time.perf_counter()
     for i in range(N_TIMED):
         state, odo, mout = batched_frame_step(
             state, *puts[(N_WARM + i) % N_STAGE], cfg
         )
-    jax.block_until_ready((state, mout))
+    d2h_sync(mout.t_w)
     dt = time.perf_counter() - t0
     emit({"fps": N_TIMED * BATCH / dt})
 
@@ -355,7 +369,7 @@ def bench_batched(cfg, frames):
         state, odo, mout = batched_frame_step(
             state, *puts[(N_WARM + i) % N_STAGE], cfg
         )
-        jax.block_until_ready(state)
+        d2h_sync(mout.t_w)
     blocked_ms = (time.perf_counter() - t1) / 4 * 1000
     log(f"batched blocked-per-step: {blocked_ms:.2f} ms/step")
 
@@ -387,10 +401,8 @@ def bench_batched(cfg, frames):
     }
     _flag_mfu_anomaly(extras)
     log(f"batched flops/step: {step_flops}  mfu≈{extras['mfu_est']}")
-    # No D2H here: the pose isn't used in batched mode, and a transfer
-    # through a stalled tunnel has eaten the whole artifact after the
-    # measurement was already complete.  Timing validity comes from the
-    # block_until_ready calls in the loops above.
+    # Timing validity comes from the d2h_sync calls in the loops above
+    # (block_until_ready does not wait on this platform — see d2h_sync).
     return fps, None, extras
 
 
@@ -414,18 +426,18 @@ def bench_batched_chunked(cfg, frames):
     ms = np.stack([[frames[(k + b) % n_f][1] for b in range(BATCH)]
                    for k in range(K)])
     dx, dm = jax.device_put(xs), jax.device_put(ms)
-    jax.block_until_ready((dx, dm))
+    d2h_sync(dm)
 
     t0 = time.perf_counter()
     state, outs = batched_chunk_step(state, dx, dm, cfg)
-    jax.block_until_ready(outs[-1])
+    d2h_sync(outs[-1])
     log(f"bchunk warm (incl. compile): {time.perf_counter()-t0:.1f}s")
 
     n_rep = 4
     t0 = time.perf_counter()
     for _ in range(n_rep):
         state, outs = batched_chunk_step(state, dx, dm, cfg)
-    jax.block_until_ready((state, outs[-1]))
+    d2h_sync(outs[-1])
     dt = time.perf_counter() - t0
     fps = n_rep * K * BATCH / dt
     emit({"fps": fps})
