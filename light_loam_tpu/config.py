@@ -170,8 +170,14 @@ class OdometryConfig:
     # Surf correspondence kernel.  "grid": single-pass search exploiting
     # the less-flat cloud's ring-slotted layout (half the matmul cost,
     # exact same semantics — ops/knn.py surf_correspondences_grid).
-    # "tiled": the layout-agnostic two-pass search.
-    surf_knn: str = "grid"
+    # "tiled": the layout-agnostic two-pass search.  "auto": tiled on
+    # TPU, grid elsewhere — measured per-op on-device (PROFILE_r04.json,
+    # slope-method device times): grid 2.60 ms vs tiled 0.93 ms per
+    # outer iteration.  The grid variant's halved matmul cost is the
+    # wrong trade on TPU, where the distance matmuls are nearly free and
+    # its (Q, R) dynamic_update_slice carries through the ring-tile scan
+    # dominate instead.
+    surf_knn: str = "auto"
 
 
 @dataclass(frozen=True)

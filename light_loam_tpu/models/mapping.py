@@ -365,12 +365,20 @@ def mapping_step(
 
     n_local_c = jnp.sum(local_c_mask.astype(jnp.int32))
     n_local_s = jnp.sum(local_s_mask.astype(jnp.int32))
+    n_stack_c = jnp.sum(stack_c_mask.astype(jnp.int32))
+    n_stack_s = jnp.sum(stack_s_mask.astype(jnp.int32))
     big_enough = (n_local_c > cfg.min_corner_map_points) & (
         n_local_s > cfg.min_surf_map_points
     )
 
-    # 4. scan-to-map refinement (2 outer × 4 LM)
-    def neighbours(stack_xyz, local_xyz, local_mask, q_w, t_w):
+    # 4. scan-to-map refinement (2 outer × 4 LM).  Both k-NN operands are
+    # live-prefix buffers (_gather_local / voxel_downsample compact live
+    # entries to the front), so the search cost scales with CONTENT via
+    # count-aware tile skipping, not with the static capacities
+    # (PROFILE_r04.json: the capacity-bound surf 5-NN was 11.7 ms per
+    # outer iteration over 10.6k live points in a 65k buffer).
+    def neighbours(stack_xyz, n_stack, local_xyz, local_mask, n_local,
+                   q_w, t_w):
         p_sel = quat.quat_rotate(q_w[None, :], stack_xyz) + t_w[None, :]
         backend = cfg.knn_backend
         if backend == "auto":
@@ -382,10 +390,12 @@ def mapping_step(
             from light_loam_tpu.ops.pallas_knn import knn_pallas
 
             d, idx = knn_pallas(p_sel, local_xyz, local_mask, k=cfg.knn_k,
-                                interpret=jax.default_backend() != "tpu")
+                                interpret=jax.default_backend() != "tpu",
+                                query_count=n_stack, ref_count=n_local)
         else:
             d, idx = knn.knn_tiled(p_sel, local_xyz, local_mask,
-                                   k=cfg.knn_k, tile=cfg.knn_tile)
+                                   k=cfg.knn_k, tile=cfg.knn_tile,
+                                   ref_count=n_local)
         return d, local_xyz[idx]
 
     n_cf = jnp.int32(0)
@@ -399,11 +409,15 @@ def mapping_step(
     # unrolling it only multiplied compile time.
     def _outer(carry, _):
         q_w, t_w, n_cf, n_sf = carry
-        d_c, near_c = neighbours(stack_c_xyz, local_c_xyz, local_c_mask, q_w, t_w)
+        d_c, near_c = neighbours(stack_c_xyz, n_stack_c,
+                                 local_c_xyz, local_c_mask, n_local_c,
+                                 q_w, t_w)
         ef = line_fit_factors(
             stack_c_xyz, stack_c_mask & big_enough, d_c, near_c, cfg
         )
-        d_s, near_s = neighbours(stack_s_xyz, local_s_xyz, local_s_mask, q_w, t_w)
+        d_s, near_s = neighbours(stack_s_xyz, n_stack_s,
+                                 local_s_xyz, local_s_mask, n_local_s,
+                                 q_w, t_w)
         pf = plane_fit_factors(
             stack_s_xyz, stack_s_mask & big_enough, d_s, near_s, cfg
         )

@@ -148,7 +148,13 @@ def odometry_step(
             sharp_sel, sharp.mask, state.corner_last,
             cfg.distance_sq_threshold, cfg.nearby_scan,
         )
-        if cfg.surf_knn == "grid":
+        surf_knn = cfg.surf_knn
+        if surf_knn == "auto":
+            # measured per-op on-device (PROFILE_r04.json): tiled 0.93 ms
+            # vs grid 2.60 ms per outer iteration on TPU; grid's halved
+            # matmul cost wins only where matmuls are the bottleneck
+            surf_knn = "tiled" if jax.default_backend() == "tpu" else "grid"
+        if surf_knn == "grid":
             # single-pass search over the ring-slotted less-flat layout
             # (R inferred from the range image — static at trace time)
             sm = knn.surf_correspondences_grid(

@@ -290,11 +290,17 @@ def knn_tiled(
     ref_mask: jnp.ndarray,
     k: int,
     tile: int = 8192,
+    ref_count=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN over a large reference cloud, streamed in tiles.
 
     Returns (sq_dists (Q,k) ascending, indices (Q,k)).  Replacement for
     the mapping stage's nearestKSearch(5) (laserMapping.cpp:1882,1948).
+
+    ``ref_count`` (dynamic scalar) asserts the reference is a live-prefix
+    buffer (entries >= ref_count masked); tiles past it skip their
+    distance block + top-k merge entirely (a masked tile can never win a
+    slot, so the skip is exact).
     """
     Q = query_xyz.shape[0]
     N = ref_xyz.shape[0]
@@ -303,9 +309,8 @@ def knn_tiled(
     rx = jnp.pad(ref_xyz, ((0, pad), (0, 0)))
     rm = jnp.pad(ref_mask, (0, pad))
 
-    def body(carry, i):
-        best_d, best_i = carry  # (Q,k) each, best_d ascending
-        sl = i * tile
+    def tile_update(carry, sl):
+        best_d, best_i = carry
         chunk = jax.lax.dynamic_slice_in_dim(rx, sl, tile, axis=0)
         cmask = jax.lax.dynamic_slice_in_dim(rm, sl, tile, axis=0)
         d = jnp.where(cmask[None, :], pairwise_sq_dist(query_xyz, chunk), _BIG)
@@ -314,9 +319,15 @@ def knn_tiled(
         cat_d = jnp.concatenate([best_d, -neg_d], axis=1)
         cat_i = jnp.concatenate([best_i, di + sl], axis=1)
         nd, sel = jax.lax.top_k(-cat_d, k)
-        best_d = -nd
-        best_i = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (best_d, best_i), None
+        return -nd, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    def body(carry, i):
+        sl = i * tile
+        if ref_count is None:
+            return tile_update(carry, sl), None
+        return jax.lax.cond(
+            sl < ref_count, tile_update, lambda c, _sl: c, carry, sl
+        ), None
 
     init = (
         jnp.full((Q, k), _BIG, jnp.float32),

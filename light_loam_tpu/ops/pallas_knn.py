@@ -9,6 +9,20 @@ distance block in VMEM and maintains the running (Q, k) best set with
 k masked-argmin extraction passes — HBM traffic drops from
 O(Q·N·passes) floats to O(3·(Q+N) in + 2·Q·k out).
 
+Count-aware tile skipping: both operand buffers are fixed-capacity with
+live prefixes (the local map comes from _gather_local, the query stack
+from voxel_downsample — both compact live entries to the front), and the
+kernel's cost is VPU-bound on the per-tile top-k passes, so it takes
+optional ``query_count``/``ref_count`` scalars and (a) runs the
+reference loop only over ceil(ref_count/tile) tiles, (b) skips query
+blocks past query_count outright (their outputs are written as
++BIG/0, which downstream masks/gates already treat as "no neighbour").
+Exact by construction: a skipped tile/block contains only masked
+entries, which could never win a top-k slot anyway.  Measured
+(PROFILE_r04.json): the surf 5-NN ran 11.7 ms per outer iteration over
+the 65k-capacity local buffer holding 10.6k live points — cost scales
+with capacity, not content, without the skip.
+
 Layout: points ride channel-major (3, ·) so the point axis fills the
 128-wide lanes and the cross term is one MXU ``dot_general`` per tile.
 Results are exactly knn_tiled's (ascending distances, first-index
@@ -52,58 +66,76 @@ def _select_k(d, idx, k):
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)  # (QB, k) ×2
 
 
-def _knn_kernel(q_ref, r_ref, m_ref, out_d_ref, out_i_ref, *,
-                k, tile, n_tiles, out_pad):
-    # refs: q (1, 3, QB), r (1, 3, Np), m (1, 1, Np)
+def _knn_kernel(cnt_ref, q_ref, r_ref, m_ref, out_d_ref, out_i_ref, *,
+                k, tile, n_tiles, out_pad, q_block):
+    # refs: cnt (1, 2) SMEM [query_count, ref_count]
+    #       q (1, 3, QB), r (1, 3, Np), m (1, 1, Np)
     #       out (1, QB, out_pad) f32 / i32
-    q = q_ref[0]                         # (3, QB)
-    QB = q.shape[1]
-    q2 = jnp.sum(q * q, axis=0)          # (QB,)
+    q_count = cnt_ref[0, 0]
+    r_count = cnt_ref[0, 1]
+    block_live = pl.program_id(1) * q_block < q_count
 
-    # elevated-precision MXU cross terms (see ops/knn.pairwise_sq_dist:
-    # bf16 rounding at ~100 m coordinates exceeds the 1 m² gates);
-    # Mosaic's dot lowering accepts DEFAULT/HIGHEST only, so the package
-    # "high" tier clamps to HIGHEST — the contraction dim is 3, the MXU
-    # cost is negligible either way.
-    from light_loam_tpu import dist_precision
+    @pl.when(jnp.logical_not(block_live))
+    def _dead_block():
+        out_d_ref[0] = jnp.full(out_d_ref.shape[1:], _BIG, jnp.float32)
+        out_i_ref[0] = jnp.zeros(out_i_ref.shape[1:], jnp.int32)
 
-    prec = dist_precision()
-    if prec == jax.lax.Precision.HIGH:
-        prec = jax.lax.Precision.HIGHEST
+    @pl.when(block_live)
+    def _live_block():
+        q = q_ref[0]                         # (3, QB)
+        QB = q.shape[1]
+        q2 = jnp.sum(q * q, axis=0)          # (QB,)
 
-    def body(t, carry):
-        best_d, best_i = carry           # (QB, k) f32 / i32
-        r = r_ref[0, :, pl.ds(t * tile, tile)]    # (3, T)
-        m = m_ref[0, 0, pl.ds(t * tile, tile)]    # (T,)
-        r2 = jnp.sum(r * r, axis=0)                # (T,)
-        cross = jax.lax.dot_general(
-            q, r, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )                                          # (QB, T)
-        d = jnp.maximum(q2[:, None] + r2[None, :] - 2.0 * cross, 0.0)
-        d = jnp.where(m[None, :] > 0, d, _BIG)
-        gcol = (jax.lax.broadcasted_iota(jnp.int32, (QB, tile), 1)
-                + t * tile)
-        cd, ci = _select_k(d, gcol, k)             # tile's k best
-        # merge running ∪ tile candidates → new running top-k.  Ties
-        # resolve to the running side (earlier tile), matching
-        # knn_tiled's strict-< update order.
-        md = jnp.concatenate([best_d, cd], axis=1)  # (QB, 2k)
-        mi = jnp.concatenate([best_i, ci], axis=1)
-        return _select_k(md, mi, k)
+        # elevated-precision MXU cross terms (see ops/knn.pairwise_sq_dist:
+        # bf16 rounding at ~100 m coordinates exceeds the 1 m² gates);
+        # Mosaic's dot lowering accepts DEFAULT/HIGHEST only, so the
+        # package "high" tier clamps to HIGHEST — the contraction dim is
+        # 3, the MXU cost is negligible either way.
+        from light_loam_tpu import dist_precision
 
-    init = (jnp.full((QB, k), _BIG, jnp.float32),
-            jnp.zeros((QB, k), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
-    out_d_ref[0] = jnp.pad(best_d, ((0, 0), (0, out_pad - k)),
-                           constant_values=_BIG)
-    out_i_ref[0] = jnp.pad(best_i, ((0, 0), (0, out_pad - k)))
+        prec = dist_precision()
+        if prec == jax.lax.Precision.HIGH:
+            prec = jax.lax.Precision.HIGHEST
+
+        def body(t, carry):
+            best_d, best_i = carry           # (QB, k) f32 / i32
+            r = r_ref[0, :, pl.ds(t * tile, tile)]    # (3, T)
+            m = m_ref[0, 0, pl.ds(t * tile, tile)]    # (T,)
+            r2 = jnp.sum(r * r, axis=0)                # (T,)
+            cross = jax.lax.dot_general(
+                q, r, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                          # (QB, T)
+            d = jnp.maximum(q2[:, None] + r2[None, :] - 2.0 * cross, 0.0)
+            d = jnp.where(m[None, :] > 0, d, _BIG)
+            gcol = (jax.lax.broadcasted_iota(jnp.int32, (QB, tile), 1)
+                    + t * tile)
+            cd, ci = _select_k(d, gcol, k)             # tile's k best
+            # merge running ∪ tile candidates → new running top-k.  Ties
+            # resolve to the running side (earlier tile), matching
+            # knn_tiled's strict-< update order.
+            md = jnp.concatenate([best_d, cd], axis=1)  # (QB, 2k)
+            mi = jnp.concatenate([best_i, ci], axis=1)
+            return _select_k(md, mi, k)
+
+        init = (jnp.full((QB, k), _BIG, jnp.float32),
+                jnp.zeros((QB, k), jnp.int32))
+        # live tiles only: entries past ref_count are all masked (live
+        # prefix), so their tiles cannot contribute a top-k slot
+        n_live = jnp.minimum(
+            (r_count + (tile - 1)) // tile, jnp.int32(n_tiles)
+        )
+        best_d, best_i = jax.lax.fori_loop(0, n_live, body, init)
+        out_d_ref[0] = jnp.pad(best_d, ((0, 0), (0, out_pad - k)),
+                               constant_values=_BIG)
+        out_i_ref[0] = jnp.pad(best_i, ((0, 0), (0, out_pad - k)))
 
 
 def _knn_impl(
     query: jnp.ndarray,   # (B, Q, 3)
     ref: jnp.ndarray,     # (B, N, 3)
     mask: jnp.ndarray,    # (B, N) bool/float
+    counts: jnp.ndarray,  # (B, 2) int32 [query_count, ref_count]
     *,
     k: int,
     q_block: int,
@@ -122,12 +154,14 @@ def _knn_impl(
     mF = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Np - N)))[:, None, :]
 
     kernel = partial(_knn_kernel, k=k, tile=tile, n_tiles=n_tiles,
-                     out_pad=out_pad)
+                     out_pad=out_pad, q_block=q_block)
     grid = (B, Qp // q_block)
     d, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 2), lambda b, i: (b, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, q_block), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             # full reference per lane; constant index across the Q-block
@@ -148,7 +182,7 @@ def _knn_impl(
             jax.ShapeDtypeStruct((B, Qp, out_pad), jnp.int32),
         ],
         interpret=interpret,
-    )(qT, rT, mF)
+    )(counts, qT, rT, mF)
     return d[:, :Q, :k], idx[:, :Q, :k]
 
 
@@ -158,20 +192,21 @@ def _knn_fn(k: int, q_block: int, tile: int, interpret: bool):
                    interpret=interpret)
 
     @custom_vmap
-    def fn(query, ref, mask):
-        d, i = impl(query[None], ref[None], mask[None])
+    def fn(query, ref, mask, counts):
+        d, i = impl(query[None], ref[None], mask[None], counts[None])
         return d[0], i[0]
 
     @fn.def_vmap
-    def _rule(axis_size, in_batched, query, ref, mask):
+    def _rule(axis_size, in_batched, query, ref, mask, counts):
         def ensure(x, b):
             return x if b else jnp.broadcast_to(
                 x[None], (axis_size,) + x.shape)
 
-        query, ref, mask = (
-            ensure(a, b) for a, b in zip((query, ref, mask), in_batched)
+        query, ref, mask, counts = (
+            ensure(a, b)
+            for a, b in zip((query, ref, mask, counts), in_batched)
         )
-        d, i = impl(query, ref, mask)
+        d, i = impl(query, ref, mask, counts)
         return (d, i), (True, True)
 
     return fn
@@ -186,9 +221,23 @@ def knn_pallas(
     q_block: int = 256,
     tile: int = 2048,
     interpret: bool = False,
+    query_count=None,
+    ref_count=None,
 ):
     """Drop-in for ops.knn.knn_tiled: (sq_dists (Q,k) ascending,
     indices (Q,k)), distance blocks kept in VMEM.  Under ``jax.vmap``
-    the batch axis folds into the kernel grid."""
+    the batch axis folds into the kernel grid.
+
+    ``query_count``/``ref_count`` (dynamic scalars) assert that entries
+    at index >= count are masked (live-prefix buffers); the kernel then
+    skips dead query blocks and dead reference tiles.  Outputs for
+    skipped query rows are (+BIG, 0) — identical to what an all-masked
+    search returns.  Omit them (None) for buffers without the prefix
+    guarantee."""
+    Q = query_xyz.shape[0]
+    N = ref_xyz.shape[0]
+    qc = jnp.asarray(Q if query_count is None else query_count, jnp.int32)
+    rc = jnp.asarray(N if ref_count is None else ref_count, jnp.int32)
+    counts = jnp.stack([qc, rc]).reshape(2)
     fn = _knn_fn(int(k), int(q_block), int(tile), bool(interpret))
-    return fn(query_xyz, ref_xyz, ref_mask)
+    return fn(query_xyz, ref_xyz, ref_mask, counts)

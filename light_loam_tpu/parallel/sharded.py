@@ -170,7 +170,8 @@ def _merged_knn(p_sel, local_xyz, local_mask, cfg: MappingConfig):
     Used when a downstream consumer (the scan-to-map vote) needs the full
     query set on every device."""
     d_loc, idx_loc = knn.knn_tiled(
-        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile
+        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile,
+        ref_count=jnp.sum(local_mask.astype(jnp.int32)),
     )
     near_loc = local_xyz[idx_loc]  # (Q, k, 3)
     all_d = jax.lax.all_gather(d_loc, AXIS)      # (n, Q, k)
@@ -186,7 +187,8 @@ def _merged_knn_sliced(p_sel, local_xyz, local_mask, cfg: MappingConfig, n: int)
     Candidate order is shard-major either way — bitwise-identical to
     slicing _merged_knn's output (gated by test_sharded equivalence)."""
     d_loc, idx_loc = knn.knn_tiled(
-        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile
+        p_sel, local_xyz, local_mask, k=cfg.knn_k, tile=cfg.knn_tile,
+        ref_count=jnp.sum(local_mask.astype(jnp.int32)),
     )
     near_loc = local_xyz[idx_loc]  # (Q, k, 3)
     Q, k = d_loc.shape

@@ -60,6 +60,47 @@ def test_all_masked_returns_big():
     assert (np.asarray(d) > 1e20).all()
 
 
+def test_count_skip_matches_full_search():
+    """With live-prefix operands, passing query_count/ref_count must not
+    change any live result (skipped tiles/blocks hold only masked
+    entries), and dead query rows must come back as the all-masked
+    sentinel (+BIG, 0)."""
+    rng = np.random.default_rng(4)
+    Q, N = 600, 5000
+    q = _cloud(rng, Q)
+    r = _cloud(rng, N)
+    n_live_r, n_live_q = 1800, 450
+    m = np.zeros(N, bool)
+    m[:n_live_r] = True
+
+    d_full, i_full = pallas_knn(jnp.asarray(q), jnp.asarray(r),
+                                jnp.asarray(m), k=5)
+    d_skip, i_skip = pallas_knn(jnp.asarray(q), jnp.asarray(r),
+                                jnp.asarray(m), k=5,
+                                query_count=jnp.int32(n_live_q),
+                                ref_count=jnp.int32(n_live_r))
+    # live query rows: bitwise-identical results
+    np.testing.assert_array_equal(np.asarray(d_skip)[:n_live_q],
+                                  np.asarray(d_full)[:n_live_q])
+    np.testing.assert_array_equal(np.asarray(i_skip)[:n_live_q],
+                                  np.asarray(i_full)[:n_live_q])
+    # dead query rows (whole blocks past the count): sentinel outputs
+    q_block = 256
+    dead_from = ((n_live_q + q_block - 1) // q_block) * q_block
+    if dead_from < Q:
+        assert (np.asarray(d_skip)[dead_from:] > 1e20).all()
+        assert (np.asarray(i_skip)[dead_from:] == 0).all()
+
+    # XLA path: ref_count must be a no-op on results too
+    d_t, i_t = knn.knn_tiled(jnp.asarray(q), jnp.asarray(r), jnp.asarray(m),
+                             k=5, tile=1024)
+    d_tc, i_tc = knn.knn_tiled(jnp.asarray(q), jnp.asarray(r),
+                               jnp.asarray(m), k=5, tile=1024,
+                               ref_count=jnp.int32(n_live_r))
+    np.testing.assert_array_equal(np.asarray(d_tc), np.asarray(d_t))
+    np.testing.assert_array_equal(np.asarray(i_tc), np.asarray(i_t))
+
+
 def test_vmap_folds_batch_into_grid():
     """Batched programs (models/batch.py) vmap mapping_step; the custom
     vmap rule must give per-lane results identical to per-lane calls —
