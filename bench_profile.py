@@ -266,14 +266,30 @@ def profile_mapping(cfg, odo, mst, feats, oout):
 
     reg_c = quat.quat_rotate(q_w[None, :], stack_c_xyz) + t_w[None, :]
     reg_s = quat.quat_rotate(q_w[None, :], stack_s_xyz) + t_w[None, :]
-    dev_time("map.merge_corner", lambda s: M._merge_into_store(
+    dev_time("map.merge_full_corner", lambda s: M._merge_into_store(
         corner_store._replace(xyz=corner_store.xyz * z(s)), reg_c,
         stack_c_mask, cen, mcfg, mcfg.line_resolution,
         mcfg.map_corner_capacity).xyz.sum())
-    dev_time("map.merge_surf", lambda s: M._merge_into_store(
+    dev_time("map.merge_full_surf", lambda s: M._merge_into_store(
         surf_store._replace(xyz=surf_store.xyz * z(s)), reg_s,
         stack_s_mask, cen, mcfg, mcfg.plane_resolution,
         mcfg.map_surf_capacity).xyz.sum())
+    # the sorted fast path (non-recenter frames, ops/sorted_store.py)
+    notrec = jnp.asarray(False)
+    dev_time("map.merge_sorted_corner", lambda s: M._merge_into_store(
+        corner_store._replace(xyz=corner_store.xyz * z(s)), reg_c,
+        stack_c_mask, cen, mcfg, mcfg.line_resolution,
+        mcfg.map_corner_capacity, recentered=notrec).xyz.sum())
+    dev_time("map.merge_sorted_surf", lambda s: M._merge_into_store(
+        surf_store._replace(xyz=surf_store.xyz * z(s)), reg_s,
+        stack_s_mask, cen, mcfg, mcfg.plane_resolution,
+        mcfg.map_surf_capacity, recentered=notrec).xyz.sum())
+
+    # whole mapping step: floor-free device time of the full program —
+    # the gap vs the sum of the sub-ops above is unattributed cost
+    dev_time("stage.mapping_whole", lambda s: mapping_step(
+        mst._replace(t_wm=mst.t_wm * z(s)), corner_last, surf_last,
+        q_odom, t_odom, mcfg)[1].t_w.sum(), iters=2)
 
 
 def profile_features(cfg, x, m):
@@ -316,6 +332,9 @@ def profile_features(cfg, x, m):
     dev_time("feat.lessflat_voxel_rings", lambda s: voxel_downsample_rings(
         grid.xyz * z(s), grid.rel, lf_sel, scfg.less_flat_leaf,
         scfg.max_less_flat // scfg.n_scans)[0].sum())
+
+    dev_time("stage.features_whole", lambda s: F.extract_features(
+        x * z(s), m, scfg).less_flat.xyz.sum(), iters=2)
 
 
 def profile_odometry(cfg, odo, feats):
@@ -388,6 +407,13 @@ def profile_odometry(cfg, odo, feats):
         return t2.sum()
 
     dev_time("odo.lm_solve_8it", solve, iters=4)
+
+    # whole odometry step: floor-free device time of the full program
+    # (6 outer iterations + state hand-off) — the gap vs 6×(corr + vote
+    # + solve) above is unattributed cost
+    dev_time("stage.odometry_whole", lambda s: odometry_step(
+        odo._replace(t_lc=odo.t_lc * z(s)), feats, ocfg, 0.1
+    )[1].t_w.sum(), iters=2)
 
 
 def main():

@@ -74,6 +74,18 @@ class ScanConfig:
     suppression_radius: int = 5
     # Voxel leaf for the less-flat downsample (scanRegistration.cpp:373).
     less_flat_leaf: float = 0.2
+    # Less-flat downsample algorithm.  "exact": per-ring sort-based
+    # voxel dedup, output key-ordered — byte-for-byte the reference's
+    # per-ring pcl::VoxelGrid semantics (scanRegistration.cpp:361-376).
+    # "runs": sort-free run-length merge along the azimuth ring (a ring
+    # is a 1-D space curve, so same-voxel points are almost always
+    # consecutive); ring revisits of a voxel yield a duplicate centroid
+    # per visit (a few % denser cloud) — geometry-equivalent for the
+    # downstream plane fits, and all dense/gather ops on TPU where the
+    # exact mode's vmapped sort+scatter costs ~10 ms/frame
+    # (PROFILE_r04.json feat.lessflat_voxel_rings).  Default stays
+    # "exact" pending an on-device win + accuracy-gate pass.
+    lessflat_mode: str = "exact"
 
     # Occluded-point / parallel-beam suppression (original LOAM §V-A;
     # ABSENT from the reference, which inherited A-LOAM's simplified
@@ -269,6 +281,16 @@ class MappingConfig:
     # slower in any interleaved round.  Semantics are equivalence-gated
     # either way (tests/test_pallas_knn.py).
     knn_backend: str = "auto"
+    # Map-store merge strategy.  "sorted" keeps the store lex-sorted by
+    # voxel key as an invariant and inserts each frame's ~2k/8k stack
+    # points by binary-search + cumsum-shift (ops/sorted_store.py) —
+    # O(new·log N + N) dense passes; the full store re-sort runs only on
+    # grid-recenter frames (where rows are evicted) under lax.cond.
+    # "resort" re-sorts the whole store every frame (the original
+    # behaviour; PROFILE_r04.json: 27 ms/frame of the ~129 ms frame).
+    # Results are equal up to float association in merged-voxel
+    # centroids (tests/test_sorted_store.py).
+    map_store_mode: str = "sorted"
 
     @property
     def n_cells(self) -> int:

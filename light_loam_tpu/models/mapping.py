@@ -275,26 +275,59 @@ def plane_fit_factors(stack_xyz, stack_mask, d, near, cfg: MappingConfig):
     )
 
 
-def _merge_into_store(store: MapStore, new_xyz, new_mask, cen, cfg,
-                      leaf: float, capacity: int) -> MapStore:
-    """Append registered points and voxel-dedup the whole store
-    (ref:2104-2168); points outside the grid are dropped (ref:2119-2121)."""
-    ijk = _cube_of(new_xyz, cen, cfg)
-    dims = jnp.asarray(
-        [cfg.cube_width, cfg.cube_height, cfg.cube_depth], jnp.int32
-    )
-    inside = jnp.all((ijk >= 0) & (ijk < dims[None, :]), axis=-1)
-    new_cell = jnp.where(inside, _cell_linear(ijk, cfg), 0)
-    new_mask = new_mask & inside
-
+def _merge_full(store: MapStore, new_xyz, new_cell, new_mask, cfg,
+                leaf: float, capacity: int) -> MapStore:
+    """Append registered points and voxel-dedup the whole store by a full
+    re-sort (ref:2104-2168).  Output is lex-sorted by voxel key with dead
+    rows at the tail — the invariant the sorted fast path relies on."""
     all_xyz = jnp.concatenate([store.xyz, new_xyz], axis=0)
-    all_cell = jnp.concatenate([store.cell, new_cell.astype(jnp.int32)], axis=0)
+    all_cell = jnp.concatenate([store.cell, new_cell], axis=0)
     all_mask = jnp.concatenate([store.mask, new_mask], axis=0)
     xyz, _, mask, cell = voxel_downsample(
         all_xyz, jnp.zeros(all_xyz.shape[0], jnp.float32), all_mask,
         leaf, capacity, extra_key=all_cell,
     )
     return MapStore(xyz=xyz, cell=cell, mask=mask)
+
+
+def _merge_into_store(store: MapStore, new_xyz, new_mask, cen, cfg,
+                      leaf: float, capacity: int,
+                      recentered=None) -> MapStore:
+    """Register a frame's stack into the map store (ref:2104-2168);
+    points outside the grid are dropped (ref:2119-2121).
+
+    With cfg.map_store_mode == "sorted" and a ``recentered`` scalar, the
+    full re-sort runs only on recenter frames (rows are only evicted
+    there, so between recenters the store is a key-sorted live prefix +
+    sentinel tail and the O(new·log N + N) sorted merge applies —
+    ops/sorted_store.py).  ``recentered=None`` forces the full path."""
+    ijk = _cube_of(new_xyz, cen, cfg)
+    dims = jnp.asarray(
+        [cfg.cube_width, cfg.cube_height, cfg.cube_depth], jnp.int32
+    )
+    inside = jnp.all((ijk >= 0) & (ijk < dims[None, :]), axis=-1)
+    new_cell = jnp.where(inside, _cell_linear(ijk, cfg), 0).astype(jnp.int32)
+    new_mask = new_mask & inside
+
+    if recentered is None or cfg.map_store_mode == "resort":
+        return _merge_full(store, new_xyz, new_cell, new_mask, cfg,
+                           leaf, capacity)
+
+    from light_loam_tpu.ops.sorted_store import merge_sorted
+
+    def fast(st):
+        xyz, cell, mask = merge_sorted(
+            st.xyz, st.cell, st.mask, new_xyz, new_cell, new_mask, leaf
+        )
+        return MapStore(xyz=xyz, cell=cell, mask=mask)
+
+    return jax.lax.cond(
+        recentered,
+        lambda st: _merge_full(st, new_xyz, new_cell, new_mask, cfg,
+                               leaf, capacity),
+        fast,
+        store,
+    )
 
 
 def surround_cloud(state: MappingState, t_w: jnp.ndarray, cfg: MappingConfig,
@@ -466,16 +499,21 @@ def mapping_step(
     )
     t_wm = t_w - quat.quat_rotate(q_wm, t_odom)
 
-    # 6. register stacks into the map
+    # 6. register stacks into the map.  Rows are only evicted at grid
+    # recentering, so non-recenter frames take the sorted fast-path
+    # merge (ops/sorted_store.py) under the cond.
+    recentered = jnp.any(cen != state.cen)
     reg_c = quat.quat_rotate(q_w[None, :], stack_c_xyz) + t_w[None, :]
     reg_s = quat.quat_rotate(q_w[None, :], stack_s_xyz) + t_w[None, :]
     corner_store = _merge_into_store(
         corner_store, reg_c, stack_c_mask, cen, cfg,
         cfg.line_resolution, cfg.map_corner_capacity,
+        recentered=recentered,
     )
     surf_store = _merge_into_store(
         surf_store, reg_s, stack_s_mask, cen, cfg,
         cfg.plane_resolution, cfg.map_surf_capacity,
+        recentered=recentered,
     )
 
     new_state = MappingState(

@@ -387,13 +387,25 @@ def extract_features(
     # VoxelGrid loop (ref:361-376) AND gives the single-pass
     # correspondence search its static ring structure
     # (ops.knn.surf_correspondences_grid).
-    lf_xyz, lf_rel, lf_mask = voxel_downsample_rings(
-        grid.xyz,
-        grid.rel,
-        lf_sel,
-        cfg.less_flat_leaf,
-        cfg.max_less_flat // cfg.n_scans,
-    )
+    if cfg.lessflat_mode == "runs":
+        # sort-free run-length merge along the ring (see config note)
+        from light_loam_tpu.ops.voxel import voxel_downsample_rings_runs
+
+        lf_xyz, lf_rel, lf_mask = voxel_downsample_rings_runs(
+            grid.xyz,
+            grid.rel,
+            lf_sel,
+            cfg.less_flat_leaf,
+            cfg.max_less_flat // cfg.n_scans,
+        )
+    else:
+        lf_xyz, lf_rel, lf_mask = voxel_downsample_rings(
+            grid.xyz,
+            grid.rel,
+            lf_sel,
+            cfg.less_flat_leaf,
+            cfg.max_less_flat // cfg.n_scans,
+        )
     less_flat = PointCloud(
         xyz=lf_xyz.reshape(-1, 3),
         rel=lf_rel.reshape(-1),

@@ -154,6 +154,111 @@ def voxel_downsample_rings(
     return jax.vmap(per_ring)(xyz, rel, mask)
 
 
+def _batched_searchsorted(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Per-row side='left' binary search: a (R, H) row-nondecreasing,
+    q (R, C); returns (R, C) insertion positions."""
+    R, H = a.shape
+    nbits = max(1, H.bit_length() + 1)
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, H, jnp.int32)
+    rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = jnp.minimum((lo + hi) // 2, H - 1)
+        less = a[rows, mid] < q
+        open_ = lo < hi
+        return (
+            jnp.where(open_ & less, mid + 1, lo),
+            jnp.where(open_ & ~less, mid, hi),
+        )
+
+    lo, hi = lax.fori_loop(0, nbits, body, (lo, hi))
+    return lo
+
+
+def voxel_downsample_rings_runs(
+    xyz: jnp.ndarray,
+    rel: jnp.ndarray,
+    mask: jnp.ndarray,
+    leaf: float,
+    ring_capacity: int,
+    max_run: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort-free per-ring voxel downsample: run-length merge along the
+    azimuth axis (ScanConfig.lessflat_mode="runs").
+
+    A laser ring is a 1-D space curve, so points sharing a 0.2 m voxel
+    are almost always azimuth-consecutive; merging maximal same-voxel
+    runs reproduces the per-ring VoxelGrid up to (a) voxels the ring
+    re-enters later (one output centroid per visit — a few % denser
+    cloud) and (b) runs longer than ``max_run`` slots including masked
+    gaps (tail points dropped from the centroid; at HDL-64 geometry a
+    0.2 m voxel spans ≲13 azimuth slots at the 5 m minimum range).
+    Masked slots are transparent: a run continues across them.
+
+    Same output layout as voxel_downsample_rings — (R, ring_capacity)
+    ring-slotted, uniform-stride decimated when a ring overflows — but
+    rows are azimuth-ordered (still spatially ordered along the ring)
+    instead of key-ordered.  Everything is cumsum / gather / elementwise:
+    no sort and no scatter, the two ops that make the exact mode the
+    most expensive feature-stage op on TPU (PROFILE_r04.json).
+    """
+    R, H = mask.shape
+    C = ring_capacity
+    major, minor = voxel_keys(xyz, mask, leaf)
+
+    # previous VALID slot per position (exclusive cummax of valid iota)
+    iota_h = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :], (R, H))
+    vidx = jnp.where(mask, iota_h, -1)
+    prev = jnp.concatenate(
+        [jnp.full((R, 1), -1, jnp.int32),
+         lax.cummax(vidx, axis=1)[:, :-1]], axis=1
+    )
+    rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+    prev_c = jnp.maximum(prev, 0)
+    new_key = (
+        (major != major[rows, prev_c]) | (minor != minor[rows, prev_c])
+    )
+    head = mask & ((prev < 0) | new_key)
+
+    # run ids: nondecreasing along the ring (masked slots alias the
+    # previous run, which keeps searchsorted exact: the first slot with
+    # seg >= j is run j's head)
+    seg = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
+    n_runs = seg[:, -1] + 1  # (R,)
+
+    j = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (R, C))
+    n = n_runs[:, None]
+    src_run = jnp.where(n > C, (j * n) // C, j)
+    keep = j < jnp.minimum(n, C)
+
+    start = _batched_searchsorted(seg, src_run)        # (R, C)
+    end = _batched_searchsorted(seg, src_run + 1)      # (R, C)
+
+    # windowed gather-mean over each run
+    def accum(k, carry):
+        sum_xyz, sum_rel, cnt = carry
+        idx = jnp.minimum(start + k, H - 1)
+        w = ((start + k) < end) & mask[rows, idx]
+        wf = w.astype(xyz.dtype)
+        return (
+            sum_xyz + wf[..., None] * xyz[rows, idx],
+            sum_rel + wf * rel[rows, idx],
+            cnt + wf,
+        )
+
+    sum_xyz, sum_rel, cnt = lax.fori_loop(
+        0, max_run, accum,
+        (jnp.zeros((R, C, 3), xyz.dtype), jnp.zeros((R, C), rel.dtype),
+         jnp.zeros((R, C), xyz.dtype)),
+    )
+    denom = jnp.maximum(cnt, 1.0)
+    out_xyz = jnp.where(keep[..., None], sum_xyz / denom[..., None], 0.0)
+    out_rel = jnp.where(keep, sum_rel / denom, 0.0)
+    return out_xyz, out_rel, keep & (cnt > 0)
+
+
 def compact(
     values: jnp.ndarray,
     mask: jnp.ndarray,

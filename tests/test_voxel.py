@@ -105,3 +105,119 @@ def test_voxel_rings_overflow_decimates_uniformly():
     xs = np.sort(np.asarray(gx)[0, :, 0])
     gaps = np.diff(xs)
     assert gaps.max() <= 2 * gaps.min() + 1e-6  # uniform coverage
+
+
+def _runs_reference(xyz, rel, mask, leaf):
+    """Host-side reference for the run-length merge: maximal runs of the
+    same voxel key along the ring, masked slots transparent."""
+    from light_loam_tpu.ops.voxel import voxel_keys
+
+    km, kn = map(np.asarray, voxel_keys(jnp.asarray(xyz), jnp.asarray(mask),
+                                        leaf))
+    runs = []
+    cur = None
+    for h in range(len(mask)):
+        if not mask[h]:
+            continue
+        key = (km[h], kn[h])
+        if cur is None or cur["key"] != key:
+            if cur is not None:
+                runs.append(cur)
+            cur = {"key": key, "xyz": [], "rel": []}
+        cur["xyz"].append(xyz[h])
+        cur["rel"].append(rel[h])
+    if cur is not None:
+        runs.append(cur)
+    out = [(np.mean(r["xyz"], axis=0), np.mean(r["rel"])) for r in runs]
+    return out
+
+
+def test_voxel_rings_runs_matches_run_reference():
+    """runs mode == host run-length reference (azimuth order), masked
+    gaps transparent, revisited voxels one centroid per visit."""
+    from light_loam_tpu.ops.voxel import voxel_downsample_rings_runs
+
+    rng = np.random.default_rng(12)
+    R, H, C = 3, 96, 64
+    # a slow 1-D walk so same-voxel points are consecutive, plus a
+    # deliberate revisit (ring returns to its start region)
+    t = np.linspace(0, 2 * np.pi, H, dtype=np.float32)
+    xyz = np.zeros((R, H, 3), np.float32)
+    for r in range(R):
+        xyz[r, :, 0] = 3.0 * np.cos(t) + 0.01 * rng.normal(size=H)
+        xyz[r, :, 1] = 3.0 * np.sin(t) + 0.01 * rng.normal(size=H)
+        xyz[r, :, 2] = 0.1 * r
+    rel = rng.uniform(0, 1, (R, H)).astype(np.float32)
+    mask = rng.random((R, H)) < 0.85
+    gx, gr, gm = voxel_downsample_rings_runs(
+        jnp.asarray(xyz), jnp.asarray(rel), jnp.asarray(mask), 0.5, C
+    )
+    gx, gr, gm = np.asarray(gx), np.asarray(gr), np.asarray(gm)
+    for r in range(R):
+        ref = _runs_reference(xyz[r], rel[r], mask[r], 0.5)
+        n = len(ref)
+        assert n <= C, "fixture should not overflow"
+        assert gm[r].sum() == n
+        for j in range(n):
+            np.testing.assert_allclose(gx[r, j], ref[j][0], rtol=1e-5,
+                                       atol=1e-5)
+            np.testing.assert_allclose(gr[r, j], ref[j][1], rtol=1e-5,
+                                       atol=1e-5)
+        assert not gm[r][n:].any()
+
+
+def test_voxel_rings_runs_equals_exact_when_no_revisit():
+    """On a monotonic (no-revisit) ring the runs mode yields the SAME
+    voxel set and centroids as the exact sort-based mode."""
+    from light_loam_tpu.ops.voxel import (
+        voxel_downsample_rings,
+        voxel_downsample_rings_runs,
+    )
+
+    rng = np.random.default_rng(13)
+    R, H, C = 2, 128, 128
+    xyz = np.zeros((R, H, 3), np.float32)
+    # strictly increasing x: every voxel is one contiguous run
+    xyz[:, :, 0] = np.cumsum(rng.uniform(0.05, 0.2, (R, H)), axis=1)
+    xyz[:, :, 1] = rng.uniform(0, 0.4, (R, H))
+    rel = rng.uniform(0, 1, (R, H)).astype(np.float32)
+    mask = rng.random((R, H)) < 0.9
+    ex, er, em = map(np.asarray, voxel_downsample_rings(
+        jnp.asarray(xyz), jnp.asarray(rel), jnp.asarray(mask), 0.5, C))
+    ux, ur, um = map(np.asarray, voxel_downsample_rings_runs(
+        jnp.asarray(xyz), jnp.asarray(rel), jnp.asarray(mask), 0.5, C))
+    for r in range(R):
+        n_e, n_u = em[r].sum(), um[r].sum()
+        assert n_e == n_u
+        # same centroid SET (exact is key-ordered, runs azimuth-ordered)
+        se = sorted(map(tuple, np.round(ex[r][:n_e], 4)))
+        su = sorted(map(tuple, np.round(ux[r][:n_u], 4)))
+        assert se == su
+
+
+def test_extract_features_runs_mode_close_to_exact():
+    """End-to-end: lessflat_mode='runs' produces a less-flat cloud whose
+    live count is within a few % of exact mode on a realistic scan."""
+    import dataclasses
+
+    from light_loam_tpu.config import HDL64_SMALL
+    from light_loam_tpu.ops.features import extract_features
+    from light_loam_tpu.utils.synthetic import World, pad_cloud, simulate_scan
+
+    world = World.urban(seed=3)
+    pts = simulate_scan(world, np.array([0.0, 0.0, 0.0]), n_azimuth=600,
+                        noise=0.01, seed=3)
+    cfg_e = HDL64_SMALL.scan
+    cfg_r = dataclasses.replace(cfg_e, lessflat_mode="runs")
+    x, m = pad_cloud(pts, cfg_e.max_points)
+    fe = extract_features(jnp.asarray(x), jnp.asarray(m), cfg_e)
+    fr = extract_features(jnp.asarray(x), jnp.asarray(m), cfg_r)
+    n_e = int(fe.less_flat.mask.sum())
+    n_r = int(fr.less_flat.mask.sum())
+    assert n_e > 0
+    # runs mode may only ADD duplicate-visit centroids (and drop points
+    # beyond the max_run window) — counts stay within a few percent
+    assert 0.97 * n_e <= n_r <= 1.10 * n_e, (n_e, n_r)
+    # the other feature clouds are untouched by the mode
+    np.testing.assert_array_equal(np.asarray(fe.sharp.mask),
+                                  np.asarray(fr.sharp.mask))
