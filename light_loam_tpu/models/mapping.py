@@ -36,7 +36,7 @@ from light_loam_tpu.core import quaternion as quat
 from light_loam_tpu.core.frame import PointCloud
 from light_loam_tpu.ops import graphvote, knn
 from light_loam_tpu.ops.eig3 import eigh3x3
-from light_loam_tpu.ops.voxel import voxel_downsample
+from light_loam_tpu.ops.voxel import compact_rows, voxel_downsample
 from light_loam_tpu.solver import (
     EdgeFactors,
     FactorSet,
@@ -178,7 +178,7 @@ def _recenter(state: MappingState, t_w: jnp.ndarray, cfg: MappingConfig):
 
 
 def _gather_local(store: MapStore, center: jnp.ndarray, cfg: MappingConfig,
-                  capacity: int):
+                  capacity: int, cell_ordered: bool = True):
     """Compact points of the 5×5×3 neighbourhood (ref:1784-1809) into a
     fixed-capacity buffer ordered by cell id.
 
@@ -186,7 +186,17 @@ def _gather_local(store: MapStore, center: jnp.ndarray, cfg: MappingConfig,
     points that did NOT fit in `capacity`.  Because the compaction is
     ordered by cell id, an overflow drops whole high-index cells
     systematically — it must be surfaced to operators (analogous to the
-    map-store saturation counter), not silently truncated."""
+    map-store saturation counter), not silently truncated.
+
+    ``cell_ordered=True`` (default): the store's live rows are already
+    cell-nondecreasing — every single-chip store is (voxel_downsample /
+    merge_sorted emit voxel-key order whose major component embeds the
+    cell, and recentering adds one constant to every live cell id) — so
+    a stable mask compaction in store order IS the sort by cell id; use
+    the O(N) prefix-sum scatter (ops.voxel.compact_rows), bitwise equal
+    to the argsort it replaces.  Pass False for stores in any other
+    layout (the voxel-hash-sharded distributed store), which pay the
+    argsort to keep the documented cell-ordered overflow semantics."""
     ijk = _cell_split(store.cell, cfg)
     d = jnp.abs(ijk - center[None, :])
     local = (
@@ -195,11 +205,14 @@ def _gather_local(store: MapStore, center: jnp.ndarray, cfg: MappingConfig,
         & (d[:, 1] <= cfg.local_half_j)
         & (d[:, 2] <= cfg.local_half_k)
     )
+    count = jnp.sum(local.astype(jnp.int32))
+    overflow = jnp.maximum(count - capacity, 0)
+    if cell_ordered:
+        out_mask, xyz = compact_rows(local, capacity, store.xyz)
+        return xyz, out_mask, overflow
     key = jnp.where(local, store.cell, jnp.int32(2**31 - 1))
     order = jnp.argsort(key, stable=True)[:capacity]
-    count = jnp.sum(local.astype(jnp.int32))
     out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
-    overflow = jnp.maximum(count - capacity, 0)
     return store.xyz[order], out_mask, overflow
 
 
@@ -344,8 +357,8 @@ def surround_cloud(state: MappingState, t_w: jnp.ndarray, cfg: MappingConfig,
     sx, sm = gather(state.surf)
     xyz = jnp.concatenate([cx, sx], axis=0)
     mask = jnp.concatenate([cm, sm], axis=0)
-    idx = jnp.argsort(jnp.where(mask, 0, 1), stable=True)[:capacity]
-    return xyz[idx], mask[idx]
+    out_mask, out_xyz = compact_rows(mask, capacity, xyz)
+    return out_xyz, out_mask
 
 
 def full_map_cloud(state: MappingState):

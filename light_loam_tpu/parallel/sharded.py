@@ -262,11 +262,15 @@ def sharded_mapping_step(
 
         corner_store, surf_store, cen, center = _recenter(state, t_w, cfg)
 
+        # the hash-redistributed shard store is NOT cell-ordered —
+        # keep the argsort path (see _gather_local docstring)
         local_c_xyz, local_c_mask, ovf_c = _gather_local(
-            corner_store, center, cfg, cfg.local_corner_capacity // n
+            corner_store, center, cfg, cfg.local_corner_capacity // n,
+            cell_ordered=False,
         )
         local_s_xyz, local_s_mask, ovf_s = _gather_local(
-            surf_store, center, cfg, cfg.local_surf_capacity // n
+            surf_store, center, cfg, cfg.local_surf_capacity // n,
+            cell_ordered=False,
         )
 
         # replicated stack downsample (identical on every device)

@@ -221,3 +221,54 @@ def test_extract_features_runs_mode_close_to_exact():
     # the other feature clouds are untouched by the mode
     np.testing.assert_array_equal(np.asarray(fe.sharp.mask),
                                   np.asarray(fr.sharp.mask))
+
+
+def test_compact_rows_equals_stable_argsort():
+    """compact_rows is bitwise the argsort-by-drop-key compaction it
+    replaces (ops/voxel.py), including overflow truncation."""
+    from light_loam_tpu.ops.voxel import compact_rows
+
+    rng = np.random.default_rng(11)
+    for n, cap in [(257, 64), (64, 64), (100, 128)]:
+        mask = jnp.asarray(rng.random(n) < 0.4)
+        vals = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)[:cap]
+        count = int(mask.sum())
+        out_mask, out_vals = compact_rows(mask, cap, vals)
+        np.testing.assert_array_equal(
+            np.asarray(out_mask),
+            np.arange(cap) < count,
+        )
+        k = min(count, cap)
+        np.testing.assert_array_equal(
+            np.asarray(out_vals)[:k], np.asarray(vals[order])[:k]
+        )
+
+
+def test_gather_local_compact_equals_argsort_on_sorted_store():
+    """On a cell-ordered store (the single-chip invariant) the sort-free
+    _gather_local equals the argsort path bitwise — live prefix AND the
+    overflow counter (models/mapping.py)."""
+    from light_loam_tpu.config import HDL64_SMALL
+    from light_loam_tpu.models.mapping import MapStore, _gather_local
+
+    cfg = HDL64_SMALL.mapping
+    rng = np.random.default_rng(5)
+    n = 4096
+    # live prefix with nondecreasing cells, dead tail
+    n_live = 3000
+    cells = np.sort(rng.integers(0, 21 * 21 * 11, n_live)).astype(np.int32)
+    cell = np.zeros(n, np.int32)
+    cell[:n_live] = cells
+    mask = np.arange(n) < n_live
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    store = MapStore(jnp.asarray(xyz), jnp.asarray(cell), jnp.asarray(mask))
+    center = jnp.asarray([10, 10, 5], jnp.int32)
+    for cap in (4096, 256):  # no-overflow and overflow
+        x1, m1, o1 = _gather_local(store, center, cfg, cap, cell_ordered=True)
+        x2, m2, o2 = _gather_local(store, center, cfg, cap, cell_ordered=False)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        assert int(o1) == int(o2)
+        k = int(m1.sum())
+        assert k > 0
+        np.testing.assert_array_equal(np.asarray(x1)[:k], np.asarray(x2)[:k])
