@@ -524,6 +524,17 @@ def run_mode(mode: str, profile: str = "hdl64") -> dict:
             cfg, mapping=dataclasses.replace(cfg.mapping,
                                              knn_backend=knn_forced))
         log(f"knn_backend forced to {knn_forced!r}")
+    # LLT_LESSFLAT_MODE=exact|runs: A/B knob for the less-flat
+    # downsample algorithm (ScanConfig.lessflat_mode) — same eager
+    # resolution rationale as the knn knob above.
+    lf_forced = os.environ.get("LLT_LESSFLAT_MODE", "").strip()
+    if lf_forced:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, scan=dataclasses.replace(cfg.scan,
+                                          lessflat_mode=lf_forced))
+        log(f"lessflat_mode forced to {lf_forced!r}")
     log(f"devices: {jax.devices()}")
     frames = make_frames(cfg, N_WARM + N_BENCH, n_azimuth)
     log(f"synthetic frames: {len(frames)}, ~{int(frames[0][1].sum())} pts each")

@@ -63,6 +63,17 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fused_step=True)
+    # LLT_LESSFLAT_MODE=exact|runs: accuracy A/B for the less-flat
+    # downsample algorithm (ScanConfig.lessflat_mode) — pairs with
+    # bench.py's same-named perf knob.
+    lf_forced = os.environ.get("LLT_LESSFLAT_MODE", "").strip()
+    if lf_forced:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, scan=dataclasses.replace(cfg.scan,
+                                          lessflat_mode=lf_forced))
+        log(f"lessflat_mode forced to {lf_forced!r}")
     # LLT_ACC_CHUNK=K: replay through the chunked offline runner
     # (models/fused.run_chunked) — trajectory-scale validation that the
     # scan-compiled path's mm/frame compilation-variant walk stays
