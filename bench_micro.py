@@ -140,6 +140,38 @@ def main():
     # 9. plain big gather (262k rows)
     bank(timeit("gather_262k_rows", lambda x, i: x[i][:2, 0], xyz262, ridx))
 
+    # 9b. mask-compaction variants at the _gather_local shape
+    # (262k store rows -> 65k buffer): decides ops/voxel.compact_rows'
+    # implementation.  All four produce identical live prefixes.
+    mask262 = jnp.asarray(rng.random(262144) < 0.04)  # ~10.5k live
+
+    def comp_argsort(x, m):
+        order = jnp.argsort(jnp.where(m, 0, 1), stable=True)[:65536]
+        return x[order][:2, 0]
+
+    def comp_rowscatter(x, m):
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        tgt = jnp.where(m & (pos < 65536), pos, 65536)
+        return jnp.zeros((65537, 3), jnp.float32).at[tgt].set(x)[:2, 0]
+
+    def comp_idxscatter(x, m):
+        n = m.shape[0]
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        tgt = jnp.where(m & (pos < 65536), pos, 65536)
+        src = jnp.zeros((65537,), jnp.int32).at[tgt].set(
+            jnp.arange(n, dtype=jnp.int32))[:65536]
+        return x[src][:2, 0]
+
+    def comp_searchsorted(x, m):
+        c = jnp.cumsum(m.astype(jnp.int32))
+        src = jnp.searchsorted(c, jnp.arange(1, 65537, dtype=jnp.int32))
+        return x[jnp.minimum(src, m.shape[0] - 1)][:2, 0]
+
+    bank(timeit("compact262_argsort", comp_argsort, xyz262, mask262))
+    bank(timeit("compact262_rowscatter", comp_rowscatter, xyz262, mask262))
+    bank(timeit("compact262_idxscatter", comp_idxscatter, xyz262, mask262))
+    bank(timeit("compact262_searchsorted", comp_searchsorted, xyz262, mask262))
+
     # 10. the per-ring batched sort of voxel_downsample_rings (64 x 2304)
     keysrg = jnp.asarray(
         rng.integers(0, 1 << 30, (64, 2304), dtype=np.int32))

@@ -211,6 +211,10 @@ def profile_mapping(cfg, odo, mst, feats, oout):
     dev_time("map.gather_local_surf", lambda s: M._gather_local(
         surf_store._replace(xyz=surf_store.xyz * z(s)), center, mcfg,
         mcfg.local_surf_capacity)[0].sum())
+    # the argsort fallback, for the compaction-variant A/B
+    dev_time("map.gather_local_surf_argsort", lambda s: M._gather_local(
+        surf_store._replace(xyz=surf_store.xyz * z(s)), center, mcfg,
+        mcfg.local_surf_capacity, cell_ordered=False)[0].sum())
 
     dev_time("map.stack_voxel_corner", lambda s: voxel_downsample(
         corner_last.xyz * z(s), corner_last.rel, corner_last.mask,
@@ -238,6 +242,28 @@ def profile_mapping(cfg, odo, mst, feats, oout):
         dev_time(f"map.knn_surf_{backend}", lambda s, b=backend: knn_call(
             b, p_sel_s * z(s), local_s_xyz, local_s_mask, mcfg.knn_k), iters=4)
 
+    # count-aware skip — the path mapping_step actually runs (the
+    # entries above measure the no-skip worst case: cost scales with
+    # buffer capacity, not live content)
+    def knn_skip(backend, qx, qm, rx, rm, k):
+        nq = jnp.sum(qm.astype(jnp.int32))
+        nr = jnp.sum(rm.astype(jnp.int32))
+        if backend == "pallas":
+            from light_loam_tpu.ops.pallas_knn import knn_pallas
+
+            d, i = knn_pallas(qx, rx, rm, k=k,
+                              interpret=jax.default_backend() != "tpu",
+                              query_count=nq, ref_count=nr)
+        else:
+            d, i = knn.knn_tiled(qx, rx, rm, k=k, tile=mcfg.knn_tile,
+                                 ref_count=nr)
+        return d.sum()
+
+    for backend in ("pallas", "xla"):
+        dev_time(f"map.knn_surf_{backend}_skip", lambda s, b=backend:
+                 knn_skip(b, p_sel_s * z(s), stack_s_mask, local_s_xyz,
+                          local_s_mask, mcfg.knn_k), iters=4)
+
     # fits + solve with real neighbour sets
     from light_loam_tpu.ops.pallas_knn import knn_pallas
 
@@ -255,6 +281,29 @@ def profile_mapping(cfg, odo, mst, feats, oout):
 
     ef = M.line_fit_factors(stack_c_xyz, stack_c_mask, d_c, near_c, mcfg)
     pf = M.plane_fit_factors(stack_s_xyz, stack_s_mask, d_s, near_s, mcfg)
+
+    # latent mapping-stage vote (models/mapping.py _outer) — previously
+    # unprofiled; runs once per outer iteration on the surf stack
+    from light_loam_tpu.ops import graphvote
+
+    v_chunk = mcfg.stack_surf_capacity // mcfg.vote_regions + mcfg.vote_regions
+
+    def map_vote(s):
+        sel, w = graphvote.run_vote(
+            mcfg.vote_mode, stack_s_xyz * z(s), jnp.mean(near_s, axis=1),
+            pf.mask, n_regions=mcfg.vote_regions, chunk_capacity=v_chunk,
+            score_threshold=mcfg.vote_score_threshold,
+            resolution=mcfg.vote_resolution,
+            selected_ratio=mcfg.vote_selected_ratio,
+            low_vote_count=mcfg.vote_low_vote_count,
+            low_vote_weight=mcfg.vote_low_vote_weight,
+            high_vote_weight=mcfg.vote_high_vote_weight,
+            backend=mcfg.vote_backend,
+        )
+        return w.sum()
+
+    if mcfg.vote_mode != "off":
+        dev_time("map.graph_vote", map_vote, iters=4)
 
     def solve(s):
         q2, t2, _ = lm_solve(q_w, t_w * z(s), FactorSet(edge=ef, plane_norm=pf),

@@ -270,20 +270,30 @@ def compact_rows(
     order; rows past ``capacity`` are dropped from the high end.  The
     result is bitwise identical to gathering with
     ``argsort(where(mask, 0, 1), stable=True)[:capacity]`` at a fraction
-    of the cost (one scatter pass instead of ~log2(N) sort passes — the
-    sort was the single-op pattern VERDICT r3 flagged ~8×/frame).
+    of the cost (one 1-word index scatter + one row gather instead of
+    ~log2(N) sort passes — the sort was the single-op pattern VERDICT r3
+    flagged ~8×/frame).
 
     Returns ``(out_mask, *compacted_arrays)``; ``out_mask[i]`` is True
     for the first ``min(count, capacity)`` output rows.
     """
+    n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     tgt = jnp.where(mask & (pos < capacity), pos, capacity)
+    # scatter only the 1-word source indices, then gather rows once:
+    # a row scatter of the payload arrays lowered ~3.5× slower than the
+    # argsort it replaced on TPU (PROFILE gather_local entries), while
+    # index-scatter + gather beats both.
+    src = jnp.zeros((capacity + 1,), jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )[:capacity]
+    count = pos[-1] + 1
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
     outs = []
     for a in arrays:
-        buf = jnp.zeros((capacity + 1,) + a.shape[1:], a.dtype)
-        outs.append(buf.at[tgt].set(a)[:capacity])
-    count = jnp.sum(mask.astype(jnp.int32))
-    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+        out = a[src]
+        mm = out_mask.reshape((capacity,) + (1,) * (a.ndim - 1))
+        outs.append(jnp.where(mm, out, jnp.zeros((), a.dtype)))
     return (out_mask, *outs)
 
 

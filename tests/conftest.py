@@ -22,3 +22,22 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh; backend was initialized too "
     f"early: {jax.devices()}"
 )
+
+
+# The full suite accumulates dozens of large compiled CPU executables and
+# compiler state across modules; past ~50% that state has segfaulted
+# XLA:CPU *during a later compile* (reproducibly in test_sharded, which
+# compiles the largest sharded program — while the same file alone, or
+# with just the pallas modules, is green).  Dropping caches between
+# modules keeps the compiler's working set bounded; the cost is a few
+# recompiles of shared helpers.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
