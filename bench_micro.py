@@ -172,6 +172,32 @@ def main():
     bank(timeit("compact262_idxscatter", comp_idxscatter, xyz262, mask262))
     bank(timeit("compact262_searchsorted", comp_searchsorted, xyz262, mask262))
 
+    # 9c. layout shootout for the engine's dominant memory pattern:
+    # gather/scatter of point rows.  (N,3) row ops vs channel-major
+    # (3,N) 1-D ops vs flat interleaved — decides whether hot paths
+    # should carry clouds channel-major.
+    xyz262_T = jnp.asarray(np.ascontiguousarray(
+        np.asarray(xyz262).T))                      # (3, 262144)
+    idx36 = jnp.asarray(rng.integers(0, 147456, 36864, dtype=np.int32))
+    xyz147 = jnp.asarray(rng.normal(size=(147456, 3)).astype(np.float32))
+    xyz147_T = jnp.asarray(np.ascontiguousarray(np.asarray(xyz147).T))
+
+    bank(timeit("gather36k_rows_from147k",
+                lambda x, i: x[i][:2, 0], xyz147, idx36))
+    bank(timeit("gather36k_chanmajor_from147k",
+                lambda x, i: x[:, i][:, :2].sum(axis=0), xyz147_T, idx36))
+
+    def gather_flat3(x, i):
+        flat = x.reshape(-1)
+        i3 = (i[:, None] * 3 + jnp.arange(3, dtype=np.int32)[None, :])
+        return flat[i3.reshape(-1)][:2]
+
+    bank(timeit("gather36k_flat3_from147k", gather_flat3, xyz147, idx36))
+
+    bank(timeit("scatter_set_131k_rows_chanmajor",
+                lambda x, i: jnp.zeros((3, 147457), jnp.float32)
+                .at[:, i].set(x.T)[0, :2], x131, idx131))
+
     # 10. the per-ring batched sort of voxel_downsample_rings (64 x 2304)
     keysrg = jnp.asarray(
         rng.integers(0, 1 << 30, (64, 2304), dtype=np.int32))
@@ -182,8 +208,12 @@ def main():
     def hash_probe(tbl_keys, pk):
         M = pk.shape[0]
         C = tbl_keys.shape[0]
-        h1 = (pk * 2654435761) % C
-        h2 = 1 + (pk * 40503) % 1023
+        # Knuth constant exceeds int32 — do the hash in uint32 (mod 2^32
+        # wraparound is part of the hash)
+        pu = pk.astype(jnp.uint32)
+        h1 = ((pu * jnp.uint32(2654435761)) % jnp.uint32(C)).astype(jnp.int32)
+        h2 = (jnp.uint32(1) + (pu * jnp.uint32(40503)) % jnp.uint32(1023)
+              ).astype(jnp.int32)
         found = jnp.full((M,), -1, jnp.int32)
         for r in range(8):
             cand = (h1 + r * h2) % C
