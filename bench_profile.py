@@ -340,6 +340,15 @@ def profile_mapping(cfg, odo, mst, feats, oout):
         mst._replace(t_wm=mst.t_wm * z(s)), corner_last, surf_last,
         q_odom, t_odom, mcfg)[1].t_w.sum(), iters=2)
 
+    # 1-outer-iteration variant (fixed-vs-per-iteration split, see the
+    # odometry twin entry)
+    import dataclasses as _dc
+
+    mcfg1 = _dc.replace(mcfg, outer_iterations=1)
+    dev_time("stage.mapping_whole_1it", lambda s: mapping_step(
+        mst._replace(t_wm=mst.t_wm * z(s)), corner_last, surf_last,
+        q_odom, t_odom, mcfg1)[1].t_w.sum(), iters=2)
+
 
 def profile_features(cfg, x, m):
     scfg = cfg.scan
@@ -462,6 +471,16 @@ def profile_odometry(cfg, odo, feats):
     # + solve) above is unattributed cost
     dev_time("stage.odometry_whole", lambda s: odometry_step(
         odo._replace(t_lc=odo.t_lc * z(s)), feats, ocfg, 0.1
+    )[1].t_w.sum(), iters=2)
+
+    # same step at 1 outer iteration: whole − (whole₁ · 1) separates the
+    # per-iteration body cost from the fixed prologue/epilogue, which
+    # the isolated entries above cannot attribute
+    import dataclasses as _dc
+
+    ocfg1 = _dc.replace(ocfg, outer_iterations=1)
+    dev_time("stage.odometry_whole_1it", lambda s: odometry_step(
+        odo._replace(t_lc=odo.t_lc * z(s)), feats, ocfg1, 0.1
     )[1].t_w.sum(), iters=2)
 
 
