@@ -535,6 +535,19 @@ def run_mode(mode: str, profile: str = "hdl64") -> dict:
             cfg, scan=dataclasses.replace(cfg.scan,
                                           lessflat_mode=lf_forced))
         log(f"lessflat_mode forced to {lf_forced!r}")
+    # LLT_SURF_KNN=grid|tiled: A/B knob for the odometry surf
+    # correspondence search (OdometryConfig.surf_knn).  The per-op slope
+    # comparison (tiled 0.9 vs grid 2.6 ms) is suspect — tiled runs TWO
+    # passes over the full tile sweep; only a stage-level D2H A/B is
+    # decisive.
+    sk_forced = os.environ.get("LLT_SURF_KNN", "").strip()
+    if sk_forced:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, odometry=dataclasses.replace(cfg.odometry,
+                                              surf_knn=sk_forced))
+        log(f"surf_knn forced to {sk_forced!r}")
     log(f"devices: {jax.devices()}")
     frames = make_frames(cfg, N_WARM + N_BENCH, n_azimuth)
     log(f"synthetic frames: {len(frames)}, ~{int(frames[0][1].sum())} pts each")

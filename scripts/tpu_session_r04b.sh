@@ -31,6 +31,9 @@ if [ "$STAGE" = all ] || [ "$STAGE" = lessflat ]; then
   LLT_LESSFLAT_MODE=runs timeout 500 python bench.py single \
     >> "$LOG" 2>&1
   log "lessflat=runs rc=$?"
+  log "A/B surf_knn grid vs tiled-default (single mode)"
+  LLT_SURF_KNN=grid timeout 500 python bench.py single >> "$LOG" 2>&1
+  log "surf_knn=grid rc=$?"
 fi
 
 if [ "$STAGE" = all ] || [ "$STAGE" = ab ]; then
