@@ -55,7 +55,7 @@ from light_loam_tpu.models.mapping import (
     plane_fit_factors,
 )
 from light_loam_tpu.ops import graphvote, knn
-from light_loam_tpu.ops.voxel import voxel_downsample
+from light_loam_tpu.ops.voxel import compact_rows, voxel_downsample
 from light_loam_tpu.solver import FactorSet, lm_solve
 
 AXIS = "map"
@@ -273,15 +273,58 @@ def sharded_mapping_step(
             cell_ordered=False,
         )
 
-        # replicated stack downsample (identical on every device)
-        stack_c_xyz, _, stack_c_mask, _ = voxel_downsample(
-            corner_last.xyz, corner_last.rel, corner_last.mask,
-            cfg.line_resolution, cfg.stack_corner_capacity,
+        # Owner-sharded stack downsample.  The dedup-voxel partition by
+        # sensor-frame voxel hash is owner-disjoint (owner is a function
+        # of the voxel's lattice cell at the SAME leaf the dedup keys
+        # on), so each device downsampling only its owned input points
+        # produces exactly the global downsample split by owner —
+        # bitwise, since stable compaction preserves in-voxel
+        # accumulation order.  This was the step's largest replicated
+        # cost (every device ran the identical full-input sort); now
+        # each sorts ~1/n of the input.  Hash skew beyond the 2× slack
+        # in the per-device compact buffer drops points (surfaced
+        # through the overflow counter).
+        def owner_stack(cloud: PointCloud, leaf, out_cap_shard,
+                        in_cap_shard):
+            dev = jax.lax.axis_index(AXIS)
+            mine = cloud.mask & (voxel_owner(cloud.xyz, leaf, n) == dev)
+            m_c, xyz_c, rel_c = compact_rows(
+                mine, in_cap_shard, cloud.xyz, cloud.rel
+            )
+            ovf = jnp.maximum(
+                jnp.sum(mine.astype(jnp.int32)) - in_cap_shard, 0
+            )
+            sx, sr, sm, _ = voxel_downsample(
+                xyz_c, rel_c, m_c, leaf, out_cap_shard
+            )
+            return sx, sm, ovf
+
+        in_c = (corner_last.xyz.shape[0] if n == 1
+                else corner_last.xyz.shape[0] // n * 2)
+        in_s = (surf_last.xyz.shape[0] if n == 1
+                else surf_last.xyz.shape[0] // n * 2)
+        stack_c_xyz_d, stack_c_mask_d, ovf_sc = owner_stack(
+            corner_last, cfg.line_resolution,
+            cfg.stack_corner_capacity // n, in_c,
         )
-        stack_s_xyz, _, stack_s_mask, _ = voxel_downsample(
-            surf_last.xyz, surf_last.rel, surf_last.mask,
-            cfg.plane_resolution, cfg.stack_surf_capacity,
+        stack_s_xyz_d, stack_s_mask_d, ovf_ss = owner_stack(
+            surf_last, cfg.plane_resolution,
+            cfg.stack_surf_capacity // n, in_s,
         )
+        ovf_c = ovf_c + ovf_sc
+        ovf_s = ovf_s + ovf_ss
+
+        # global query set, owner-grouped: slice i IS device i's points,
+        # so the sliced all_to_all candidate merge hands every device
+        # the neighbour sets of exactly its own stack
+        def gathered(x_d, cap):
+            g = jax.lax.all_gather(x_d, AXIS)
+            return g.reshape((cap,) + x_d.shape[1:])
+
+        stack_c_xyz = gathered(stack_c_xyz_d, cfg.stack_corner_capacity)
+        stack_c_mask = gathered(stack_c_mask_d, cfg.stack_corner_capacity)
+        stack_s_xyz = gathered(stack_s_xyz_d, cfg.stack_surf_capacity)
+        stack_s_mask = gathered(stack_s_mask_d, cfg.stack_surf_capacity)
 
         n_local_c = jax.lax.psum(
             jnp.sum(local_c_mask.astype(jnp.int32)), AXIS
@@ -305,8 +348,8 @@ def sharded_mapping_step(
                 p_sel_c, local_c_xyz, local_c_mask, cfg, n
             )
             ef = line_fit_factors(
-                _slice_for_device(stack_c_xyz, n),
-                _slice_for_device(stack_c_mask & big_enough, n),
+                stack_c_xyz_d,
+                stack_c_mask_d & big_enough,
                 d_c,
                 near_c,
                 cfg,
@@ -318,8 +361,8 @@ def sharded_mapping_step(
                     p_sel_s, local_s_xyz, local_s_mask, cfg, n
                 )
                 pf = plane_fit_factors(
-                    _slice_for_device(stack_s_xyz, n),
-                    _slice_for_device(stack_s_mask & big_enough, n),
+                    stack_s_xyz_d,
+                    stack_s_mask_d & big_enough,
                     d_s,
                     near_s,
                     cfg,
