@@ -94,6 +94,13 @@ class MappingOutput(NamedTuple):
     # capacities this step (0 = healthy; >0 means local_*_capacity is
     # undersized for the scene density and whole cells were dropped)
     local_overflow: jnp.ndarray
+    # sharded path only: input points + output voxels the per-device
+    # stack-downsample shard buffers could not hold (hash skew past the
+    # 2× input slack or past stack_*_capacity//n distinct owned voxels).
+    # Always 0 on the single-chip path, whose stack buffers are full-size.
+    # Kept separate from local_overflow: that one means "grow
+    # local_*_capacity", this one means "rebalance/grow the stack shards".
+    stack_overflow: jnp.ndarray
 
 
 def rslidar_quat_remap(q: jnp.ndarray) -> jnp.ndarray:
@@ -539,5 +546,6 @@ def mapping_step(
         map_corner_points=jnp.sum(corner_store.mask.astype(jnp.int32)),
         map_surf_points=jnp.sum(surf_store.mask.astype(jnp.int32)),
         local_overflow=ovf_c + ovf_s,
+        stack_overflow=jnp.int32(0),
     )
     return new_state, out

@@ -58,14 +58,18 @@ def voxel_downsample(
     leaf: float,
     capacity: int,
     extra_key: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_count: bool = False,
+):
     """Centroid-downsample a masked cloud.
 
     Returns (xyz_out, rel_out, mask_out, extra_out) with static shapes
     (capacity, 3)/(capacity,); ``extra_out`` carries each surviving voxel's
     ``extra_key`` (or zeros when not supplied).  Voxels beyond ``capacity``
-    are dropped (callers size capacity so this does not happen in practice).
-    """
+    are dropped (callers size capacity so this does not happen in practice;
+    pass ``with_count=True`` to get a fifth return — the total number of
+    distinct live voxels BEFORE the capacity clip — so callers that shard
+    the output capacity can surface the drop instead of losing it
+    silently)."""
     n = xyz.shape[0]
     major, minor = voxel_keys(xyz, mask, leaf, extra_key)
 
@@ -110,6 +114,9 @@ def voxel_downsample(
     denom = jnp.maximum(cnt_out, 1.0)
     xyz_out = sx[:capacity] / denom[:, None]
     rel_out = sr[:capacity] / denom
+    if with_count:
+        n_voxels = jnp.sum(head.astype(jnp.int32))
+        return xyz_out, rel_out, mask_out, extra_out, n_voxels
     return xyz_out, rel_out, mask_out, extra_out
 
 
@@ -267,12 +274,15 @@ def compact_rows(
     """O(N) stable mask compaction by prefix-sum + scatter — no sort.
 
     Moves rows where ``mask`` is True to the output prefix in input
-    order; rows past ``capacity`` are dropped from the high end.  The
-    result is bitwise identical to gathering with
-    ``argsort(where(mask, 0, 1), stable=True)[:capacity]`` at a fraction
-    of the cost (one 1-word index scatter + one row gather instead of
-    ~log2(N) sort passes — the sort was the single-op pattern VERDICT r3
-    flagged ~8×/frame).
+    order; rows past ``capacity`` are dropped from the high end.  On the
+    live prefix (the first ``min(count, capacity)`` rows) and on
+    ``out_mask`` the result is bitwise identical to gathering with
+    ``argsort(where(mask, 0, 1), stable=True)[:capacity]``; dead rows
+    past the prefix are ZEROED here, where the argsort gather would
+    carry arbitrary surviving input rows (all consumers mask, and zeros
+    are the safer filler).  Cost is a fraction of the sort's (one 1-word
+    index scatter + one row gather instead of ~log2(N) sort passes — the
+    sort was the single-op pattern VERDICT r3 flagged ~8×/frame).
 
     Returns ``(out_mask, *compacted_arrays)``; ``out_mask[i]`` is True
     for the first ``min(count, capacity)`` output rows.

@@ -221,10 +221,15 @@ def sharded_mapping_step(
 ) -> Tuple[MappingState, MappingOutput]:
     """Mapping step with cell-hash-sharded map stores.
 
-    Identical semantics to models.mapping.mapping_step up to k-NN
-    tie-breaking and dedup slot assignment; the map never leaves its
-    shard — only (Q, k) candidate sets and 6×6 normal equations cross
-    the interconnect.
+    Identical semantics to models.mapping.mapping_step up to three
+    gated divergence sources: k-NN tie-breaking, dedup slot assignment,
+    and — in vote mode — vote-region membership: the gathered stack is
+    owner-grouped (device-major) rather than globally voxel-key-sorted,
+    and graphvote chunks the query set by contiguous index ranges, so
+    hash-interleaved points land in different vote regions than the
+    single-chip path (all three are bounded by test_sharded's gates).
+    The map never leaves its shard — only (Q, k) candidate sets and 6×6
+    normal equations cross the interconnect.
     """
     n = mesh.shape[AXIS]
     for name, cap in (
@@ -253,6 +258,7 @@ def sharded_mapping_step(
         MappingOutput(
             q_w=P(), t_w=P(), corner_factors=P(), surf_factors=P(),
             map_corner_points=P(), map_surf_points=P(), local_overflow=P(),
+            stack_overflow=P(),
         ),
     )
 
@@ -281,9 +287,11 @@ def sharded_mapping_step(
         # bitwise, since stable compaction preserves in-voxel
         # accumulation order.  This was the step's largest replicated
         # cost (every device ran the identical full-input sort); now
-        # each sorts ~1/n of the input.  Hash skew beyond the 2× slack
-        # in the per-device compact buffer drops points (surfaced
-        # through the overflow counter).
+        # each sorts ~1/n of the input.  Hash skew drops points on BOTH
+        # sides of the shard buffers — input points past the 2× compact
+        # slack AND distinct owned voxels past out_cap_shard — and both
+        # drops feed the returned overflow counter (ADVICE r4: the
+        # output-side drop used to be silent).
         def owner_stack(cloud: PointCloud, leaf, out_cap_shard,
                         in_cap_shard):
             dev = jax.lax.axis_index(AXIS)
@@ -294,9 +302,10 @@ def sharded_mapping_step(
             ovf = jnp.maximum(
                 jnp.sum(mine.astype(jnp.int32)) - in_cap_shard, 0
             )
-            sx, sr, sm, _ = voxel_downsample(
-                xyz_c, rel_c, m_c, leaf, out_cap_shard
+            sx, sr, sm, _, n_vox = voxel_downsample(
+                xyz_c, rel_c, m_c, leaf, out_cap_shard, with_count=True
             )
+            ovf = ovf + jnp.maximum(n_vox - out_cap_shard, 0)
             return sx, sm, ovf
 
         in_c = (corner_last.xyz.shape[0] if n == 1
@@ -311,8 +320,11 @@ def sharded_mapping_step(
             surf_last, cfg.plane_resolution,
             cfg.stack_surf_capacity // n, in_s,
         )
-        ovf_c = ovf_c + ovf_sc
-        ovf_s = ovf_s + ovf_ss
+        # stack-shard skew (ovf_sc/ovf_ss) is reported on its own output
+        # field, NOT folded into local_overflow: the two counters demand
+        # different operator responses (grow local_*_capacity vs
+        # rebalance/grow the stack shards) — ADVICE r4.
+        ovf_stack = ovf_sc + ovf_ss
 
         # global query set, owner-grouped: slice i IS device i's points,
         # so the sliced all_to_all candidate merge hands every device
@@ -463,6 +475,7 @@ def sharded_mapping_step(
                 jnp.sum(surf_store.mask.astype(jnp.int32)), AXIS
             ),
             local_overflow=jax.lax.psum(ovf_c + ovf_s, AXIS),
+            stack_overflow=jax.lax.psum(ovf_stack, AXIS),
         )
         return new_state, out
 
