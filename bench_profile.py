@@ -466,6 +466,53 @@ def profile_odometry(cfg, odo, feats):
 
     dev_time("odo.lm_solve_8it", solve, iters=4)
 
+    # --- gather-inclusive entries (r05 ledger) -------------------------
+    # The vote/solve entries above hold their index operands loop-
+    # invariant, so the (cap, 3) row gathers out of corner_last/surf_last
+    # — five per outer iteration in the real body — get hoisted out of
+    # the repetition loop and never counted.  These entries vary the
+    # indices with the dependency-chain value s (cheap int add + mod vs
+    # a row gather), forcing a real gather every rep.
+    Nc = odo.corner_last.xyz.shape[0]
+    Ns = odo.surf_last.xyz.shape[0]
+    cm = knn.corner_correspondences(sharp_sel, sharp.mask, odo.corner_last,
+                                    ocfg.distance_sq_threshold,
+                                    ocfg.nearby_scan)
+
+    def vary(idx, n, s):
+        return jnp.remainder(idx + s.astype(jnp.int32), n)
+
+    def gather5(s):
+        sv = jnp.asarray(s)
+        rows = (odo.corner_last.xyz[vary(cm.a_idx, Nc, sv)].sum()
+                + odo.corner_last.xyz[vary(cm.b_idx, Nc, sv)].sum()
+                + odo.surf_last.xyz[vary(sm.a_idx, Ns, sv)].sum()
+                + odo.surf_last.xyz[vary(sm.b_idx, Ns, sv)].sum()
+                + odo.surf_last.xyz[vary(sm.c_idx, Ns, sv)].sum())
+        return rows
+
+    dev_time("odo.gather5_rows", gather5, iters=4)
+
+    def factor_tail(s):
+        sv = jnp.asarray(s)
+        e = EdgeFactors(
+            cp=sharp.xyz,
+            a=odo.corner_last.xyz[vary(cm.a_idx, Nc, sv)],
+            b=odo.corner_last.xyz[vary(cm.b_idx, Nc, sv)],
+            s=s_sharp, weight=jnp.ones_like(s_sharp), mask=cm.valid)
+        p = make_plane_factors(
+            cp=flat.xyz,
+            a=odo.surf_last.xyz[vary(sm.a_idx, Ns, sv)],
+            b=odo.surf_last.xyz[vary(sm.b_idx, Ns, sv)],
+            c=odo.surf_last.xyz[vary(sm.c_idx, Ns, sv)],
+            s=s_flat, weight=jnp.ones_like(s_flat), mask=sm.valid)
+        q2, t2, _ = lm_solve(q, t, FactorSet(edge=e, plane=p),
+                             n_iterations=ocfg.inner_iterations,
+                             huber_delta=ocfg.huber_delta)
+        return t2.sum()
+
+    dev_time("odo.factor_tail_gathers_build_solve", factor_tail, iters=4)
+
     # whole odometry step: floor-free device time of the full program
     # (6 outer iterations + state hand-off) — the gap vs 6×(corr + vote
     # + solve) above is unattributed cost

@@ -125,6 +125,20 @@ def odometry_step(
     n_flat_cap = flat.capacity
     chunk_cap = n_flat_cap // cfg.plane_vote_regions + cfg.plane_vote_regions
 
+    surf_knn = cfg.surf_knn
+    if surf_knn == "auto":
+        # measured per-op on-device (PROFILE_r04.json): tiled 0.93 ms
+        # vs grid 2.60 ms per outer iteration on TPU (stage-level
+        # confirmation r05: grid 10.24 vs tiled 11.30 fps); grid's
+        # halved matmul cost wins only where matmuls are the bottleneck
+        surf_knn = "tiled" if jax.default_backend() == "tpu" else "grid"
+    # tiled mode: the stored surf_last is live-prefix compacted at
+    # hand-off (below), so the tile sweeps skip dead tiles.  ~40 % live
+    # at flagship capacity → both correspondence passes drop ~half
+    # their tiles; matches are bitwise-identical (same live set, same
+    # relative order → same masked mins, same gathered rows).
+    surf_ref_count = state.surf_last.count() if surf_knn == "tiled" else None
+
     corner_valid = jnp.zeros_like(sharp.mask)
     plane_valid = jnp.zeros_like(flat.mask)
 
@@ -148,12 +162,6 @@ def odometry_step(
             sharp_sel, sharp.mask, state.corner_last,
             cfg.distance_sq_threshold, cfg.nearby_scan,
         )
-        surf_knn = cfg.surf_knn
-        if surf_knn == "auto":
-            # measured per-op on-device (PROFILE_r04.json): tiled 0.93 ms
-            # vs grid 2.60 ms per outer iteration on TPU; grid's halved
-            # matmul cost wins only where matmuls are the bottleneck
-            surf_knn = "tiled" if jax.default_backend() == "tpu" else "grid"
         if surf_knn == "grid":
             # single-pass search over the ring-slotted less-flat layout
             # (R inferred from the range image — static at trace time)
@@ -166,6 +174,7 @@ def odometry_step(
             sm = knn.surf_correspondences(
                 flat_sel, flat.mask, state.surf_last,
                 cfg.distance_sq_threshold, cfg.nearby_scan,
+                ref_count=surf_ref_count,
             )
 
         use_vote = state.frame > cfg.vote_start_frame
@@ -257,6 +266,19 @@ def odometry_step(
     else:
         corner_keep = feats.less_sharp
         surf_keep = feats.less_flat
+
+    if surf_knn == "tiled":
+        # live-prefix compaction so the next frame's tile sweeps can
+        # skip dead tiles (~60 % of the ring-slotted layout's slots are
+        # holes at flagship capacity).  Ring identity travels in `rel`
+        # (PointCloud.ring() = floor(rel)), so no layout is lost; the
+        # grid path keeps the ring-slotted cloud it structurally needs.
+        from light_loam_tpu.ops.voxel import compact_rows
+
+        km, kx, kr = compact_rows(
+            surf_keep.mask, surf_keep.capacity, surf_keep.xyz, surf_keep.rel
+        )
+        surf_keep = PointCloud(xyz=kx, rel=kr, mask=km)
 
     new_state = OdometryState(
         corner_last=corner_keep,

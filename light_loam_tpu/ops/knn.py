@@ -113,9 +113,19 @@ def surf_correspondences(
     dist_sq_threshold: float = 25.0,
     nearby_scan: float = 2.5,
     tile: int = 8192,
+    ref_count=None,
 ) -> SurfMatches:
     """Planar-triangle correspondences (laserOdometry.cpp:653-737),
-    streamed over the (large) surf reference cloud in ``tile`` chunks."""
+    streamed over the (large) surf reference cloud in ``tile`` chunks.
+
+    ``ref_count`` (dynamic scalar) asserts that all live reference
+    entries sit in the index prefix ``[0, ref_count)`` (a compacted
+    cloud, ops.voxel.compact_rows); the tile loops then visit only
+    ceil(ref_count/tile) tiles.  Exact by construction: a skipped tile
+    is all-masked and can never win a min.  This is the odometry-side
+    twin of the mapping 5-NN's count-aware skip (ops/pallas_knn.py) —
+    the less-flat cloud runs ~40 % full at HDL-64 flagship capacity, so
+    both sweep passes drop ~half their tiles."""
     Q = query_xyz.shape[0]
     N = ref.capacity
     ring = ref.ring()
@@ -124,9 +134,16 @@ def surf_correspondences(
     ref_xyz = jnp.pad(ref.xyz, ((0, pad), (0, 0)))
     ref_mask = jnp.pad(ref.mask, (0, pad))
     ring_p = jnp.pad(ring, (0, pad))
+    if ref_count is None:
+        n_live = n_tiles
+    else:
+        n_live = jnp.minimum(
+            (jnp.asarray(ref_count, jnp.int32) + (tile - 1)) // tile,
+            jnp.int32(n_tiles),
+        )
 
     # ---- pass 1: plain 1-NN over tiles ----
-    def nn_body(carry, i):
+    def nn_body(i, carry):
         best_d, best_i = carry
         sl = i * tile
         chunk = jax.lax.dynamic_slice_in_dim(ref_xyz, sl, tile, axis=0)
@@ -136,16 +153,14 @@ def surf_correspondences(
         upd = dv < best_d
         best_i = jnp.where(upd, di + sl, best_i)
         best_d = jnp.where(upd, dv, best_d)
-        return (best_d, best_i), None
+        return (best_d, best_i)
 
     init = (jnp.full((Q,), _BIG, jnp.float32), jnp.zeros((Q,), jnp.int32))
-    (d1, a_idx), _ = jax.lax.scan(
-        nn_body, init, jnp.arange(n_tiles, dtype=jnp.int32)
-    )
+    d1, a_idx = jax.lax.fori_loop(0, n_live, nn_body, init)
     ring_a = ring_p[a_idx]
 
     # ---- pass 2: same-ring 2nd and cross-ring 3rd points ----
-    def win_body(carry, i):
+    def win_body(i, carry):
         (bd2, bi2, bd3, bi3) = carry
         sl = i * tile
         chunk = jax.lax.dynamic_slice_in_dim(ref_xyz, sl, tile, axis=0)
@@ -170,7 +185,7 @@ def surf_correspondences(
             jnp.where(u2, di2 + sl, bi2),
             jnp.where(u3, dv3, bd3),
             jnp.where(u3, di3 + sl, bi3),
-        ), None
+        )
 
     init2 = (
         jnp.full((Q,), _BIG, jnp.float32),
@@ -178,9 +193,7 @@ def surf_correspondences(
         jnp.full((Q,), _BIG, jnp.float32),
         jnp.zeros((Q,), jnp.int32),
     )
-    (d2, b_idx, d3, c_idx), _ = jax.lax.scan(
-        win_body, init2, jnp.arange(n_tiles, dtype=jnp.int32)
-    )
+    d2, b_idx, d3, c_idx = jax.lax.fori_loop(0, n_live, win_body, init2)
 
     valid = (
         query_mask

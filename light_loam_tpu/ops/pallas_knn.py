@@ -68,11 +68,15 @@ def _select_k(d, idx, k):
 
 def _knn_kernel(cnt_ref, q_ref, r_ref, m_ref, out_d_ref, out_i_ref, *,
                 k, tile, n_tiles, out_pad, q_block):
-    # refs: cnt (1, 2) SMEM [query_count, ref_count]
+    # refs: cnt (B, 2) SMEM [query_count, ref_count] — the FULL array
+    #       (Mosaic's block rule rejects a (1, 2) block over (B, 2) for
+    #       B > 1: sublane dim must divide 8 or equal the array's), so
+    #       the kernel picks its lane's row by grid position instead
     #       q (1, 3, QB), r (1, 3, Np), m (1, 1, Np)
     #       out (1, QB, out_pad) f32 / i32
-    q_count = cnt_ref[0, 0]
-    r_count = cnt_ref[0, 1]
+    lane = pl.program_id(0)
+    q_count = cnt_ref[lane, 0]
+    r_count = cnt_ref[lane, 1]
     block_live = pl.program_id(1) * q_block < q_count
 
     @pl.when(jnp.logical_not(block_live))
@@ -160,7 +164,7 @@ def _knn_impl(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda b, i: (b, 0),
+            pl.BlockSpec((B, 2), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, q_block), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),

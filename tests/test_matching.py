@@ -187,6 +187,81 @@ def test_surf_grid_matches_two_pass():
         assert (o == n).all(), name
 
 
+def test_surf_compacted_count_aware_matches_slotted():
+    """Count-aware tiled search on a live-prefix-compacted cloud must
+    reproduce the full slotted sweep exactly: compaction preserves the
+    live points' relative (ring-major) order, so masked mins pick the
+    same winners and the gathered rows are bitwise identical — only the
+    index VALUES change (positions in the compacted array)."""
+    from light_loam_tpu.ops.voxel import compact_rows
+
+    rng = np.random.default_rng(11)
+    R, C = 8, 64
+    xyz, rel, mask = _grid_cloud(rng, R, C, fill=0.5)
+    ref = PointCloud(xyz=jnp.asarray(xyz), rel=jnp.asarray(rel),
+                     mask=jnp.asarray(mask))
+    km, kx, kr = compact_rows(ref.mask, ref.capacity, ref.xyz, ref.rel)
+    cref = PointCloud(xyz=kx, rel=kr, mask=km)
+    n_live = int(np.asarray(km).sum())
+    assert n_live == mask.sum() and n_live < R * C
+
+    q = rng.uniform(-6, 6, (96, 3)).astype(np.float32)
+    qm = np.ones(96, bool)
+    qm[90:] = False
+    full = knn.surf_correspondences(jnp.asarray(q), jnp.asarray(qm), ref,
+                                    tile=128)
+    fast = knn.surf_correspondences(jnp.asarray(q), jnp.asarray(qm), cref,
+                                    tile=128, ref_count=n_live)
+    fv, cv = np.asarray(full.valid), np.asarray(fast.valid)
+    assert (fv == cv).all()
+    assert fv.any()
+    for name in ("a_idx", "b_idx", "c_idx"):
+        fr = np.asarray(ref.xyz)[np.asarray(getattr(full, name))[fv]]
+        cr = np.asarray(cref.xyz)[np.asarray(getattr(fast, name))[fv]]
+        assert (fr == cr).all(), name
+
+    # count 0: no tiles visited, nothing valid
+    empty = knn.surf_correspondences(
+        jnp.asarray(q), jnp.asarray(qm),
+        PointCloud.zeros(R * C), tile=128, ref_count=0)
+    assert not np.asarray(empty.valid).any()
+
+
+def test_odometry_tiled_compaction_equivalence():
+    """odometry_step with the tiled (compacting, count-aware) search
+    must match the grid search bitwise at the pose level: identical
+    factor rows in identical order -> identical LM trajectory."""
+    import dataclasses
+
+    from light_loam_tpu.config import HDL64_SMALL
+    from light_loam_tpu.models.odometry import OdometryState, odometry_step
+    from light_loam_tpu.ops.features import extract_features
+    from light_loam_tpu.utils.synthetic import World, pad_cloud, simulate_scan
+
+    cfg = HDL64_SMALL
+    world = World.urban(seed=3)
+    states = {}
+    for mode in ("tiled", "grid"):
+        ocfg = dataclasses.replace(cfg.odometry, surf_knn=mode)
+        st = OdometryState.init(cfg.scan.max_less_sharp,
+                                cfg.scan.max_less_flat)
+        for i in range(3):
+            pts = simulate_scan(
+                world, np.array([0.8 * i, 0.0, 0.0]),
+                n_rings=cfg.scan.n_scans,
+                lower_deg=cfg.scan.lower_bound_deg,
+                upper_deg=cfg.scan.upper_bound_deg,
+                n_azimuth=600, noise=0.01, seed=40 + i)
+            xyz, m = pad_cloud(pts, cfg.scan.max_points)
+            feats = extract_features(jnp.asarray(xyz), jnp.asarray(m),
+                                     cfg.scan)
+            st, out = odometry_step(st, feats, ocfg, cfg.scan.scan_period)
+        states[mode] = np.concatenate(
+            [np.asarray(out.q_w), np.asarray(out.t_w)])
+    np.testing.assert_allclose(states["tiled"], states["grid"],
+                               rtol=0, atol=1e-5)
+
+
 def test_surf_grid_empty_ref():
     rng = np.random.default_rng(8)
     R, C = 4, 32
