@@ -334,6 +334,51 @@ def profile_mapping(cfg, odo, mst, feats, oout):
         stack_s_mask, cen, mcfg, mcfg.plane_resolution,
         mcfg.map_surf_capacity, recentered=notrec).xyz.sum())
 
+    # merge_sorted internals — attribute the ~8 ms surf fast path to its
+    # three passes (small segment-reduce sort, lex binary search, O(N)
+    # shift gather) so the next optimization targets the real cost
+    from light_loam_tpu.ops import sorted_store as SS
+    from light_loam_tpu.ops.voxel import voxel_keys as _vkeys
+
+    ijk_s = M._cube_of(reg_s, cen, mcfg)
+    dims_s = jnp.asarray(
+        [mcfg.cube_width, mcfg.cube_height, mcfg.cube_depth], jnp.int32)
+    inside_s = jnp.all((ijk_s >= 0) & (ijk_s < dims_s[None, :]), axis=-1)
+    cell_new_s = jnp.where(
+        inside_s, M._cell_linear(ijk_s, mcfg), 0).astype(jnp.int32)
+    nm_s = stack_s_mask & inside_s
+    leaf_srf = mcfg.plane_resolution
+    smaj, smin = _vkeys(surf_store.xyz, surf_store.mask, leaf_srf,
+                        extra_key=surf_store.cell)
+
+    def ms_reduce(s):
+        _, _, usum, _, _ = SS.voxel_segment_reduce(
+            reg_s * z(s), nm_s, leaf_srf, cell_new_s)
+        return usum.sum()
+
+    dev_time("map.ms_segment_reduce", ms_reduce)
+
+    def ms_reduce_search(s):
+        ukmaj, ukmin, usum, _, _ = SS.voxel_segment_reduce(
+            reg_s * z(s), nm_s, leaf_srf, cell_new_s)
+        p = SS.searchsorted2(smaj, smin, ukmaj, ukmin)
+        return usum.sum() + p.sum().astype(jnp.float32)
+
+    dev_time("map.ms_reduce_plus_search", ms_reduce_search)
+
+    n_srf = surf_store.xyz.shape[0]
+    o_srf = jnp.arange(n_srf, dtype=jnp.int32)
+
+    def ms_shift_gather(s):
+        # data-dependent (always-zero) cumsum keeps the monotone gather
+        # dynamic, like the real fresh-insert shift
+        x = surf_store.xyz * z(s)
+        cumf = jnp.cumsum((jnp.abs(x[:, 0]) > 1e30).astype(jnp.int32))
+        src = jnp.clip(o_srf - 7 - cumf, 0, n_srf - 1)
+        return x[src].sum()
+
+    dev_time("map.ms_shift_gather", ms_shift_gather)
+
     # whole mapping step: floor-free device time of the full program —
     # the gap vs the sum of the sub-ops above is unattributed cost
     dev_time("stage.mapping_whole", lambda s: mapping_step(
@@ -390,6 +435,14 @@ def profile_features(cfg, x, m):
     dev_time("feat.lessflat_voxel_rings", lambda s: voxel_downsample_rings(
         grid.xyz * z(s), grid.rel, lf_sel, scfg.less_flat_leaf,
         scfg.max_less_flat // scfg.n_scans)[0].sum())
+    # sort-free runs variant — the direct per-op A/B for the
+    # LLT_LESSFLAT_MODE default decision (VERDICT r4 #3)
+    from light_loam_tpu.ops.voxel import voxel_downsample_rings_runs
+
+    dev_time("feat.lessflat_voxel_runs", lambda s: (
+        voxel_downsample_rings_runs(
+            grid.xyz * z(s), grid.rel, lf_sel, scfg.less_flat_leaf,
+            scfg.max_less_flat // scfg.n_scans)[0].sum()))
 
     dev_time("stage.features_whole", lambda s: F.extract_features(
         x * z(s), m, scfg).less_flat.xyz.sum(), iters=2)

@@ -112,15 +112,28 @@ def _knn_kernel(cnt_ref, q_ref, r_ref, m_ref, out_d_ref, out_i_ref, *,
             )                                          # (QB, T)
             d = jnp.maximum(q2[:, None] + r2[None, :] - 2.0 * cross, 0.0)
             d = jnp.where(m[None, :] > 0, d, _BIG)
-            gcol = (jax.lax.broadcasted_iota(jnp.int32, (QB, tile), 1)
-                    + t * tile)
-            cd, ci = _select_k(d, gcol, k)             # tile's k best
-            # merge running ∪ tile candidates → new running top-k.  Ties
-            # resolve to the running side (earlier tile), matching
-            # knn_tiled's strict-< update order.
-            md = jnp.concatenate([best_d, cd], axis=1)  # (QB, 2k)
-            mi = jnp.concatenate([best_i, ci], axis=1)
-            return _select_k(md, mi, k)
+
+            def extract(_):
+                gcol = (jax.lax.broadcasted_iota(jnp.int32, (QB, tile), 1)
+                        + t * tile)
+                cd, ci = _select_k(d, gcol, k)         # tile's k best
+                # merge running ∪ tile candidates → new running top-k.
+                # Ties resolve to the running side (earlier tile),
+                # matching knn_tiled's strict-< update order.
+                md = jnp.concatenate([best_d, cd], axis=1)  # (QB, 2k)
+                mi = jnp.concatenate([best_i, ci], axis=1)
+                return _select_k(md, mi, k)
+
+            # Spatial prune: extraction (k argmin passes over the block
+            # — the kernel's VPU cost) runs only if some row could still
+            # improve.  Both operands are cell/voxel-key-sorted, so a
+            # 256-query block and a 2048-point tile are usually far
+            # apart and min(d) >= kth-best for every row.  Exact: an
+            # element with d == kth loses the merge tie to the running
+            # side anyway, so >= can never drop a winner.
+            need = jnp.any(jnp.min(d, axis=1) < best_d[:, k - 1])
+            return jax.lax.cond(
+                need, extract, lambda _: (best_d, best_i), None)
 
         init = (jnp.full((QB, k), _BIG, jnp.float32),
                 jnp.zeros((QB, k), jnp.int32))

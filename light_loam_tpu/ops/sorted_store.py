@@ -60,10 +60,18 @@ def searchsorted2(
     sorted (major, minor) int32 key-pair array.
 
     jnp.searchsorted cannot compare two-part keys and the pair does not
-    fit one int32; 2·ceil(log2 N) gathers beat packing into int64
-    (x64 is disabled) or a 262k-row re-sort.
+    fit one int32 (x64 is disabled).  TPU gathers cost ~10 ns per
+    gathered ITEM, independent of item width (device A/B 2026-08-20:
+    8k scalar gather ≈ 8k 2-wide row gather ≈ 0.1-0.2 ms; wider
+    branching factors scale COST with the probe count, so (K+1)-ary
+    search loses).  The optimal shape is therefore a plain binary
+    search probing both halves of the key as ONE 2-wide row gather per
+    step — half the serial gather chain of the separate major/minor
+    probes (5.3 ms → ~2 ms of the sorted-store surf merge,
+    PROFILE_r05_map map.ms_reduce_plus_search).
     """
     n = a_major.shape[0]
+    a_pair = jnp.stack([a_major, a_minor], axis=1)  # (n, 2)
     # the search space is [0, n] — n+1 values; one extra halving over
     # bit_length(n-1) guarantees convergence for every n
     nbits = max(1, n.bit_length() + 1)
@@ -73,8 +81,8 @@ def searchsorted2(
     def body(_, carry):
         lo, hi = carry
         mid = jnp.minimum((lo + hi) // 2, n - 1)
-        m1 = a_major[mid]
-        m2 = a_minor[mid]
+        pr = jnp.take(a_pair, mid, axis=0, mode="clip")  # (m, 2), 1 gather
+        m1, m2 = pr[:, 0], pr[:, 1]
         less = (m1 < q_major) | ((m1 == q_major) & (m2 < q_minor))
         # fixed trip count: freeze converged lanes so lo never passes hi
         open_ = lo < hi
