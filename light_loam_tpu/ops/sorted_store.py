@@ -200,9 +200,27 @@ def merge_sorted(
     src = jnp.clip(o - cumf, 0, n - 1)
 
     ucent = usum / jnp.maximum(ucnt, 1.0)[:, None]
-    out_xyz = jnp.where(is_f[:, None], ucent[fidx], sxyz[src])
-    out_cell = jnp.where(is_f, ucell[fidx], store_cell[src])
-    out_mask = jnp.where(is_f, True, smask[src])
+    # ONE 5-wide row gather instead of five n-item gathers: TPU gather
+    # cost is ~10 ns per gathered ITEM regardless of row width (device
+    # A/B 2026-08-20), so packing [xyz, bitcast(cell), mask] and
+    # selecting store-shift vs fresh rows through a virtual concat
+    # collapses the whole output pass to a single n-item gather.
+    # Bit-exact: the gather only moves bits; cell rides as its f32
+    # bit-pattern and is bitcast straight back.
+    pk_store = jnp.concatenate(
+        [sxyz,
+         lax.bitcast_convert_type(store_cell, jnp.float32)[:, None],
+         smask.astype(jnp.float32)[:, None]], axis=1)          # (n, 5)
+    pk_new = jnp.concatenate(
+        [ucent,
+         lax.bitcast_convert_type(ucell, jnp.float32)[:, None],
+         jnp.ones((m, 1), jnp.float32)], axis=1)               # (m, 5)
+    src_all = jnp.where(is_f, n + fidx, src)
+    out = jnp.take(jnp.concatenate([pk_store, pk_new], axis=0),
+                   src_all, axis=0, mode="clip")               # (n, 5)
+    out_xyz = out[:, :3]
+    out_cell = lax.bitcast_convert_type(out[:, 3], jnp.int32)
+    out_mask = out[:, 4] > 0.5
     return out_xyz, out_cell, out_mask
 
 

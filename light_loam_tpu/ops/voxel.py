@@ -76,14 +76,22 @@ def voxel_downsample(
     # Stable lexicographic sort by (major, minor) in ONE variadic sort —
     # identical order to stable-argsort(minor) followed by
     # stable-argsort(major), at half the sort passes and one less gather.
+    # The sort RETURNS the sorted keys (no re-gather), and the payload
+    # rides as ONE wide-row gather: TPU gathers/scatters cost ~10 ns per
+    # ITEM independent of row width (device A/B 2026-08-20), so packing
+    # [xyz, rel, mask] collapses three n-item gathers into one.  This op
+    # vmapped over rings was the features stage's biggest rock
+    # (PROFILE_r05_feat lessflat 9.9 ms, mostly these gathers/scatters).
     iota = jnp.arange(n, dtype=jnp.int32)
-    _, _, order = lax.sort((major, minor, iota), num_keys=2, is_stable=True)
+    major_s, minor_s, order = lax.sort(
+        (major, minor, iota), num_keys=2, is_stable=True)
 
-    major_s = major[order]
-    minor_s = minor[order]
-    xyz_s = xyz[order]
-    rel_s = rel[order]
-    valid_s = mask[order]
+    packed = jnp.concatenate(
+        [xyz, rel[:, None], mask.astype(xyz.dtype)[:, None]], axis=1)
+    ps = jnp.take(packed, order, axis=0, mode="clip")      # (n, 5)
+    xyz_s = ps[:, :3]
+    rel_s = ps[:, 3]
+    valid_s = ps[:, 4] > 0.5
 
     # Head of each voxel segment.
     prev_major = jnp.concatenate([jnp.full((1,), -1, jnp.int32), major_s[:-1]])
@@ -92,14 +100,18 @@ def voxel_downsample(
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, jnp.clip(seg, 0, capacity), capacity)
 
+    # one 5-wide row scatter instead of three (cost per ITEM, not per
+    # element): columns [xyz·valid, rel·valid, valid]
     ones = valid_s.astype(xyz.dtype)
-    cnt = jnp.zeros((capacity + 1,), xyz.dtype).at[seg].add(ones)
-    sx = jnp.zeros((capacity + 1, 3), xyz.dtype).at[seg].add(
-        jnp.where(valid_s[:, None], xyz_s, 0.0)
+    acc = jnp.zeros((capacity + 1, 5), xyz.dtype).at[seg].add(
+        jnp.concatenate(
+            [jnp.where(valid_s[:, None], xyz_s, 0.0),
+             jnp.where(valid_s, rel_s, 0.0)[:, None],
+             ones[:, None]], axis=1)
     )
-    sr = jnp.zeros((capacity + 1,), xyz.dtype).at[seg].add(
-        jnp.where(valid_s, rel_s, 0.0)
-    )
+    sx = acc[:, :3]
+    sr = acc[:, 3]
+    cnt = acc[:, 4]
     if extra_key is not None:
         extra_s = extra_key[order]
         ex = jnp.zeros((capacity + 1,), jnp.int32).at[seg].max(
@@ -156,7 +168,10 @@ def voxel_downsample_rings(
         j = jnp.arange(C, dtype=jnp.int32)
         src = jnp.where(n > C, (j * n) // C, j)
         keep = j < jnp.minimum(n, C)
-        return vx[src], vr[src], keep
+        # one 4-wide row gather for [xyz, rel] (gather cost is per item)
+        out = jnp.take(jnp.concatenate([vx, vr[:, None]], axis=1),
+                       src, axis=0, mode="clip")
+        return out[:, :3], out[:, 3], keep
 
     return jax.vmap(per_ring)(xyz, rel, mask)
 
