@@ -314,6 +314,38 @@ def compact_rows(
     )[:capacity]
     count = pos[-1] + 1
     out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+
+    # one packed wide-row gather for ALL payload arrays (TPU gather cost
+    # is per ITEM, not per element): 32-bit payloads ride as their f32
+    # bit patterns and are bitcast straight back — bit-exact.
+    def to_cols(a):
+        col = a.reshape(n, -1)
+        return (lax.bitcast_convert_type(col, jnp.float32)
+                if a.dtype != jnp.float32 else col)
+
+    packable = all(
+        a.dtype in (jnp.float32, jnp.int32, jnp.uint32) for a in arrays
+    ) and len(arrays) > 1
+    if packable:
+        widths = []
+        for a in arrays:
+            w = 1
+            for d in a.shape[1:]:
+                w *= int(d)
+            widths.append(w)
+        packed = jnp.concatenate([to_cols(a) for a in arrays], axis=1)
+        got = jnp.take(packed, src, axis=0, mode="clip")
+        outs, off = [], 0
+        for a, w in zip(arrays, widths):
+            col = got[:, off:off + w]
+            off += w
+            if a.dtype != jnp.float32:
+                col = lax.bitcast_convert_type(col, a.dtype)
+            out = col.reshape((capacity,) + a.shape[1:])
+            mm = out_mask.reshape((capacity,) + (1,) * (a.ndim - 1))
+            outs.append(jnp.where(mm, out, jnp.zeros((), a.dtype)))
+        return (out_mask, *outs)
+
     outs = []
     for a in arrays:
         out = a[src]
